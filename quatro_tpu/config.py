@@ -1,0 +1,260 @@
+"""Configuration tree for the quatro-tpu pipeline.
+
+The reference spreads configuration over two YAML files loaded into the ROS
+parameter server (reference: config/params.yaml, config/patchwork_params.yaml,
+launch/quatro.launch:3-4) plus the solver's ``Quatro::Params`` struct
+(reference: include/quatro.hpp:202-268).  Here everything is a tree of frozen
+dataclasses: hashable, so any config can be a static argument to ``jax.jit``,
+and every capacity that shapes an array is an explicit static field.
+
+Unlike the reference, array capacities are first-class: XLA requires static
+shapes, so each pipeline stage declares a hard cap + validity mask instead of
+dynamically sized ``pcl::PointCloud``s.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Per-sensor range-image geometry.
+
+    Mirrors the five sensor models of the reference
+    (reference: include/imageProjection.hpp:85-124).
+    """
+
+    name: str = "Velodyne-64-HDE"
+    n_scan: int = 64
+    horizon_scan: int = 1800
+    ang_res_x: float = 360.0 / 1800
+    ang_res_y: float = 26.9 / 63
+    ang_bottom: float = 25.0
+    ground_scan_ind: int = 60
+
+    @staticmethod
+    def preset(name: str) -> "LidarConfig":
+        presets = {
+            "Velodyne-64-HDE": dict(n_scan=64, horizon_scan=1800,
+                                    ang_res_x=360.0 / 1800, ang_res_y=26.9 / 63,
+                                    ang_bottom=25.0, ground_scan_ind=60),
+            "VLP-16": dict(n_scan=16, horizon_scan=1800, ang_res_x=0.2,
+                           ang_res_y=2.0, ang_bottom=15.1, ground_scan_ind=7),
+            "HDL-32E": dict(n_scan=32, horizon_scan=1800,
+                            ang_res_x=360.0 / 1800, ang_res_y=41.33 / 31,
+                            ang_bottom=30.67, ground_scan_ind=20),
+            "Ouster-OS1-16": dict(n_scan=16, horizon_scan=1024,
+                                  ang_res_x=360.0 / 1024, ang_res_y=33.2 / 15,
+                                  ang_bottom=16.7, ground_scan_ind=7),
+            "Ouster-OS1-64": dict(n_scan=64, horizon_scan=1024,
+                                  ang_res_x=360.0 / 1024, ang_res_y=33.2 / 63,
+                                  ang_bottom=16.7, ground_scan_ind=15),
+        }
+        if name not in presets:
+            raise ValueError(f"Unknown lidar type: {name!r}; options: {sorted(presets)}")
+        return LidarConfig(name=name, **presets[name])
+
+
+@dataclass(frozen=True)
+class PatchworkConfig:
+    """Concentric-Zone-Model ground segmentation parameters.
+
+    Mirrors config/patchwork_params.yaml and the constructor defaults of
+    ``PatchWork`` (reference: include/patchwork.hpp:47-140).
+    """
+
+    sensor_height: float = 1.723
+    num_iter: int = 3
+    num_lpr: int = 20
+    num_min_pts: int = 80
+    th_seeds: float = 0.25
+    th_dist: float = 0.125
+    max_r: float = 80.0
+    min_r: float = 2.7
+    uprightness_thr: float = 0.707
+    adaptive_seed_selection_margin: float = -1.1
+    using_global_elevation: bool = False
+    global_elevation_threshold: float = -0.5
+    num_zones: int = 4
+    num_sectors_each_zone: Tuple[int, ...] = (16, 32, 54, 32)
+    num_rings_each_zone: Tuple[int, ...] = (2, 4, 4, 4)
+    min_ranges_each_zone: Tuple[float, ...] = (2.7, 12.3625, 22.025, 41.35)
+    # Indexed with `ring_idx + 2 * zone_idx` exactly like the reference
+    # (reference: include/patchwork.hpp:407-408).
+    elevation_thresholds: Tuple[float, ...] = (-1.2, -0.9984, -0.851, -0.605)
+    flatness_thresholds: Tuple[float, ...] = (0.0001, 0.000125, 0.000185, 0.000185)
+    # Static capacity: max points binned per CZM patch (reference caps at
+    # NUM_HEURISTIC_MAX_PTS_IN_PATCH=3000, include/patchwork.hpp:20).
+    max_pts_per_patch: int = 1024
+
+    def __post_init__(self):
+        n = self.num_zones
+        if not (len(self.num_sectors_each_zone) == len(self.num_rings_each_zone)
+                == len(self.min_ranges_each_zone) == n):
+            raise ValueError("CZM zone parameter lists must all have num_zones entries")
+        if self.min_r != self.min_ranges_each_zone[0]:
+            raise ValueError("min_r must equal min_ranges_each_zone[0]")
+        if len(self.elevation_thresholds) != len(self.flatness_thresholds):
+            raise ValueError("elevation/flatness threshold lists must match in size")
+
+    @property
+    def num_patches(self) -> int:
+        return sum(r * s for r, s in
+                   zip(self.num_rings_each_zone, self.num_sectors_each_zone))
+
+    @property
+    def num_rings_of_interest(self) -> int:
+        # reference: include/patchwork.hpp:108
+        return len(self.elevation_thresholds)
+
+    @property
+    def ring_boundaries(self) -> Tuple[float, ...]:
+        """Outer radius of each zone: (min_r1..min_r4, max_r)."""
+        return tuple(self.min_ranges_each_zone) + (self.max_r,)
+
+
+@dataclass(frozen=True)
+class ProjectionConfig:
+    """Range-image sub-clustering parameters.
+
+    Mirrors the constants of ``ImageProjection``
+    (reference: include/imageProjection.hpp:58-64,28).
+    """
+
+    neighbor_mode: str = "4CrossNeighbor"  # 4Neighbor | 8Neighbor | 4CrossNeighbor
+    min_pts_for_subcluster: int = 30
+    segment_valid_point_num: int = 5
+    segment_valid_line_num: int = 3
+    segment_theta_deg: float = 60.0
+    min_range: float = 0.1
+    # Label-propagation iteration cap for the connected-components solve that
+    # replaces the reference's serial BFS (include/imageProjection.hpp:485-581).
+    # With pointer-jumping the label graph converges in O(log(diameter)) rounds.
+    max_cc_iters: int = 48
+
+    def __post_init__(self):
+        if self.neighbor_mode not in ("4Neighbor", "8Neighbor", "4CrossNeighbor"):
+            raise ValueError(f"bad neighbor_mode {self.neighbor_mode!r}")
+
+    @property
+    def neighbor_offsets(self) -> Tuple[Tuple[int, int], ...]:
+        # reference: include/imageProjection.hpp:169-195
+        if self.neighbor_mode == "4Neighbor":
+            return ((-1, 0), (0, 1), (0, -1), (1, 0))
+        if self.neighbor_mode == "8Neighbor":
+            return ((-1, 0), (0, 1), (0, -1), (1, 0),
+                    (-1, -1), (-1, 1), (1, 1), (1, -1))
+        return ((-1, -1), (-1, 1), (1, 1), (1, -1))
+
+
+@dataclass(frozen=True)
+class FPFHConfig:
+    """FPFH descriptor + matcher parameters.
+
+    Radii mirror config/params.yaml:23-25; the constraint check mirrors
+    fpfh_manager.hpp:99-102. The tuple test is a deterministic re-design of
+    the reference's srand(time(NULL)) sampling
+    (reference: src/teaser_utils/feature_matcher.cc:187-247).
+    """
+
+    normal_radius: float = 0.5
+    fpfh_radius: float = 0.75
+    # Static neighbor capacity for radius queries (replaces kd-tree lists).
+    max_neighbors_normal: int = 48
+    max_neighbors_fpfh: int = 64
+    use_crosscheck: bool = True
+    use_tuple_test: bool = True
+    tuple_scale: float = 0.95
+    tuple_trials_per_corr: int = 100
+    tuple_seed: int = 0
+    # Static cap on matched correspondences fed to the solver.
+    max_correspondences: int = 1024
+
+    def __post_init__(self):
+        if self.normal_radius > self.fpfh_radius:
+            raise ValueError("normal_radius must be <= fpfh_radius "
+                             "(reference: fpfh_manager.hpp:99-102)")
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Robust registration back-end parameters.
+
+    Mirrors ``Quatro::Params`` (reference: include/quatro.hpp:202-268) plus
+    the two implicit noise-bound quirks of the reference made explicit:
+
+    * the GNC rotation stage runs with ``noise_bound * rotation_noise_bound_scale``
+      (the reference multiplies params.noise_bound by 2/scale before the solve,
+      include/quatro.hpp:846-852, and latches it in a function-local static,
+      include/quatro.hpp:469);
+    * COTE uses ``noise_bound * cote_noise_bound_coeff`` (the reference uses the
+      constructor-initialised member ``noise_bound_`` = 0.3,
+      include/quatro.hpp:115,600-601).
+    """
+
+    reg_name: str = "Quatro"          # "Quatro" (yaw-only) or "TEASER" (full SO(3))
+    cote_mode: str = "median"         # "median" (Quatro) or "weighted_mean" (TEASER++)
+    using_rot_inliers_when_estimating_cote: bool = False
+    noise_bound: float = 0.3
+    cbar2: float = 1.0
+    estimate_scaling: bool = False
+    rotation_gnc_factor: float = 1.4
+    rotation_max_iterations: int = 50
+    rotation_cost_threshold: float = 0.00011
+    rotation_noise_bound_scale: float = 2.0
+    cote_noise_bound_coeff: float = 1.0
+    # Inlier selection (replacement for PMC max-clique, src/graph.cc:12-130):
+    # "clique" = k-core peel + batched greedy clique growth; "kcore" = k-core
+    # filter only (KCORE_HEU analog); "none" = all scale-inliers pass.
+    inlier_selection_mode: str = "clique"
+    kcore_heuristic_threshold: float = 0.5
+    # Number of parallel greedy-growth seeds for the clique search.
+    clique_num_seeds: int = 16
+    # Static cap on clique size (bounds the greedy-growth loop).
+    max_clique_size: int = 512
+
+    def __post_init__(self):
+        if self.reg_name not in ("Quatro", "TEASER"):
+            raise ValueError("reg_name must be 'Quatro' or 'TEASER'")
+        if self.cote_mode not in ("median", "weighted_mean"):
+            raise ValueError("[COTE]: Wrong parameter comes!")
+        if self.rotation_gnc_factor <= 1.0:
+            raise ValueError("rotation_gnc_factor must be > 1")
+        if self.noise_bound == 0.0:
+            raise ValueError("noise_bound must be nonzero")
+        if self.inlier_selection_mode not in ("clique", "kcore", "none"):
+            raise ValueError(f"bad inlier_selection_mode {self.inlier_selection_mode!r}")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline configuration with all static capacities."""
+
+    lidar: LidarConfig = LidarConfig()
+    patchwork: PatchworkConfig = PatchworkConfig()
+    projection: ProjectionConfig = ProjectionConfig()
+    fpfh: FPFHConfig = FPFHConfig()
+    solver: SolverConfig = SolverConfig()
+    ground_segmentation_mode: str = "Patchwork"  # "Patchwork" | "LeGO-LOAM"
+    voxel_size: float = 0.3
+    # Static capacities per stage.
+    max_raw_points: int = 131072
+    max_nonground_points: int = 65536
+    max_segment_points: int = 32768
+    max_voxels: int = 8192
+
+    def __post_init__(self):
+        if self.ground_segmentation_mode not in ("Patchwork", "LeGO-LOAM"):
+            raise ValueError("Ground Segmentation mode is wrong!")
+
+
+def replace(cfg, **kwargs):
+    """Functional update helper: ``replace(cfg, noise_bound=0.5)``."""
+    return dataclasses.replace(cfg, **kwargs)
+
+
+DEFAULT_CONFIG = PipelineConfig()

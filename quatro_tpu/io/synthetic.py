@@ -1,0 +1,212 @@
+"""Synthetic LiDAR scene generation with ground-truth transforms.
+
+The reference's de-facto integration fixture is a KITTI scan pair downloaded
+at configure time (reference: CMakeLists.txt:57-58) — unavailable offline.
+This module replaces it with a procedural urban scene (ground plane + boxes +
+poles) and a vectorized spinning-LiDAR ray-caster, so every test and benchmark
+runs hermetically with exact ground truth:
+
+* two sensor poses observing the same world -> two scans + the exact relative
+  transform the solver must recover;
+* scans exhibit the structure the pipeline depends on: a dominant ground
+  plane (for Patchwork), vertical surfaces (for FPFH normals), range-image
+  continuity (for projection clustering).
+
+Everything here is plain numpy on the host: scene generation is IO, not
+device compute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import numpy as np
+
+from quatro_tpu.config import LidarConfig
+
+
+@dataclass
+class Scene:
+    """Axis-aligned boxes on a ground plane, in world coordinates."""
+
+    box_min: np.ndarray  # (M, 3)
+    box_max: np.ndarray  # (M, 3)
+    ground_z: float = 0.0
+
+
+def make_scene(seed: int = 0, num_buildings: int = 24, num_cars: int = 16,
+               num_poles: int = 30, extent: float = 60.0) -> Scene:
+    """Random urban-ish scene: big boxes (buildings), small boxes (cars),
+    thin tall boxes (poles/trunks)."""
+    rng = np.random.default_rng(seed)
+    mins, maxs = [], []
+
+    def add_box(cx, cy, sx, sy, sz, z0=0.0):
+        mins.append([cx - sx / 2, cy - sy / 2, z0])
+        maxs.append([cx + sx / 2, cy + sy / 2, z0 + sz])
+
+    for _ in range(num_buildings):
+        cx, cy = rng.uniform(-extent, extent, 2)
+        if np.hypot(cx, cy) < 8.0:  # keep the sensor area clear
+            cx += np.sign(cx or 1.0) * 10.0
+        add_box(cx, cy, rng.uniform(4, 14), rng.uniform(4, 14),
+                rng.uniform(3, 12))
+    for _ in range(num_cars):
+        cx, cy = rng.uniform(-extent * 0.6, extent * 0.6, 2)
+        if np.hypot(cx, cy) < 4.0:
+            cx += 6.0
+        add_box(cx, cy, rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.0),
+                rng.uniform(1.4, 1.9))
+    for _ in range(num_poles):
+        cx, cy = rng.uniform(-extent * 0.8, extent * 0.8, 2)
+        if np.hypot(cx, cy) < 3.0:
+            cy += 5.0
+        add_box(cx, cy, rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5),
+                rng.uniform(3, 7))
+
+    return Scene(box_min=np.array(mins, dtype=np.float64),
+                 box_max=np.array(maxs, dtype=np.float64))
+
+
+def _ray_box_hits(origins: np.ndarray, dirs: np.ndarray,
+                  box_min: np.ndarray, box_max: np.ndarray) -> np.ndarray:
+    """Slab-method ray/AABB intersection.
+
+    origins (R,3), dirs (R,3), boxes (M,3) -> t (R, M), +inf where missed.
+    """
+    inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+    t0 = (box_min[None, :, :] - origins[:, None, :]) * inv[:, None, :]
+    t1 = (box_max[None, :, :] - origins[:, None, :]) * inv[:, None, :]
+    tmin = np.minimum(t0, t1).max(axis=2)
+    tmax = np.maximum(t0, t1).min(axis=2)
+    hit = (tmax >= tmin) & (tmax > 1e-6)
+    t = np.where(tmin > 1e-6, tmin, tmax)  # allow origin inside a box
+    return np.where(hit, t, np.inf)
+
+
+def raycast_scan(scene: Scene, sensor_xyz: np.ndarray, sensor_yaw: float,
+                 lidar: LidarConfig = LidarConfig(), max_range: float = 80.0,
+                 noise_std: float = 0.008, dropout: float = 0.05,
+                 seed: int = 0) -> np.ndarray:
+    """Simulate one spinning-LiDAR scan; returns (N,3) points in SENSOR frame.
+
+    The ray grid mirrors the reference's range-image geometry
+    (reference: include/imageProjection.hpp:85-124,308-352): `n_scan`
+    elevation rings spanning [-ang_bottom, -ang_bottom + fov] degrees,
+    `horizon_scan` azimuth steps.
+    """
+    rng = np.random.default_rng(seed)
+    n_rows, n_cols = lidar.n_scan, lidar.horizon_scan
+    fov_up = -lidar.ang_bottom + lidar.ang_res_y * (n_rows - 1)
+    elev = np.deg2rad(np.linspace(-lidar.ang_bottom, fov_up, n_rows))
+    azim = np.linspace(0, 2 * np.pi, n_cols, endpoint=False) + sensor_yaw
+
+    ce, se = np.cos(elev), np.sin(elev)
+    ca, sa = np.cos(azim), np.sin(azim)
+    # (rows, cols, 3) ray directions in world frame
+    dirs = np.stack([ce[:, None] * ca[None, :],
+                     ce[:, None] * sa[None, :],
+                     np.broadcast_to(se[:, None], (n_rows, n_cols))], axis=-1)
+    dirs = dirs.reshape(-1, 3)
+    origins = np.broadcast_to(np.asarray(sensor_xyz, np.float64), dirs.shape)
+
+    # Ground plane hit.
+    dz = dirs[:, 2]
+    t_ground = np.where(dz < -1e-9,
+                        (scene.ground_z - origins[:, 2]) / np.where(dz == 0, 1, dz),
+                        np.inf)
+    # Boxes — chunk over rays to bound memory.
+    t_box = np.full(dirs.shape[0], np.inf)
+    chunk = 16384
+    for s in range(0, dirs.shape[0], chunk):
+        e = s + chunk
+        t_box[s:e] = _ray_box_hits(origins[s:e], dirs[s:e],
+                                   scene.box_min, scene.box_max).min(axis=1)
+
+    t = np.minimum(t_ground, t_box)
+    valid = np.isfinite(t) & (t > 0.5) & (t < max_range)
+    if dropout > 0:
+        valid &= rng.random(t.shape) > dropout
+    t = t + rng.normal(0, noise_std, t.shape)  # range noise
+
+    pts_world = origins[valid] + dirs[valid] * t[valid, None]
+    # World -> sensor frame: p_s = Rz(yaw)^T (p_w - origin)
+    c, s_ = np.cos(sensor_yaw), np.sin(sensor_yaw)
+    rot_t = np.array([[c, s_, 0], [-s_, c, 0], [0, 0, 1]])
+    pts = (pts_world - np.asarray(sensor_xyz)) @ rot_t.T
+    return pts.astype(np.float32)
+
+
+def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
+                   translation: Tuple[float, float, float] = (3.0, 1.5, 0.05),
+                   sensor_height: float = 1.723,
+                   lidar: LidarConfig = LidarConfig(),
+                   **scan_kwargs):
+    """Two scans of one world from two poses + the ground-truth transform.
+
+    Returns (src_xyz, tgt_xyz, gt) with gt the 4x4 transform such that
+    ``gt @ src ~= tgt`` (the solver's convention: dst = R*src + t,
+    reference: include/quatro.hpp:597).
+
+    Pose A is the *target* frame origin; pose B (displaced by `translation`
+    and rotated by `yaw_deg`) produces the *source* scan.
+    """
+    scene = make_scene(seed)
+    yaw = np.deg2rad(yaw_deg)
+    t_a = np.array([0.0, 0.0, sensor_height])
+    t_b = t_a + np.asarray(translation, np.float64)
+
+    tgt = raycast_scan(scene, t_a, 0.0, lidar=lidar, seed=seed + 1, **scan_kwargs)
+    src = raycast_scan(scene, t_b, yaw, lidar=lidar, seed=seed + 2, **scan_kwargs)
+
+    # src frame -> tgt frame: p_A = R_A^T R_B p_B + R_A^T (t_B - t_A);
+    # with R_A = I, R_B = Rz(yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    gt = np.eye(4)
+    gt[:3, :3] = rot
+    gt[:3, 3] = t_b - t_a
+    return src, tgt, gt.astype(np.float32)
+
+
+def make_correspondences(seed: int = 0, n_inliers: int = 60,
+                         n_outliers: int = 240, yaw_deg: float = 30.0,
+                         translation: Tuple[float, float, float] = (2.0, -1.0, 0.3),
+                         noise_std: float = 0.05, extent: float = 30.0,
+                         roll_pitch: Tuple[float, float] = (0.0, 0.0)):
+    """Correspondence-level fixture for solver unit/property tests.
+
+    Returns (src (N,3), tgt (N,3), gt 4x4, inlier_mask (N,)) with
+    tgt = R*src + t + noise for inliers and uniform junk for outliers —
+    the >95%-outlier regime the solver is built for (reference: README.md:15).
+    """
+    rng = np.random.default_rng(seed)
+    yaw = np.deg2rad(yaw_deg)
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    if roll_pitch != (0.0, 0.0):
+        rl, pt = roll_pitch
+        rx = np.array([[1, 0, 0], [0, np.cos(rl), -np.sin(rl)], [0, np.sin(rl), np.cos(rl)]])
+        ry = np.array([[np.cos(pt), 0, np.sin(pt)], [0, 1, 0], [-np.sin(pt), 0, np.cos(pt)]])
+        rot = rot @ ry @ rx
+    t = np.asarray(translation, np.float64)
+
+    src_in = rng.uniform(-extent, extent, (n_inliers, 3))
+    src_in[:, 2] = rng.uniform(-2, 6, n_inliers)
+    tgt_in = src_in @ rot.T + t + rng.normal(0, noise_std, (n_inliers, 3))
+
+    src_out = rng.uniform(-extent, extent, (n_outliers, 3))
+    tgt_out = rng.uniform(-extent, extent, (n_outliers, 3))
+
+    src = np.concatenate([src_in, src_out]).astype(np.float32)
+    tgt = np.concatenate([tgt_in, tgt_out]).astype(np.float32)
+    mask = np.zeros(n_inliers + n_outliers, dtype=bool)
+    mask[:n_inliers] = True
+
+    # shuffle so inliers are not contiguous
+    perm = rng.permutation(src.shape[0])
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = rot
+    gt[:3, 3] = t
+    return src[perm], tgt[perm], gt, mask[perm]

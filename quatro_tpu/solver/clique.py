@@ -1,0 +1,159 @@
+"""Inlier selection on the consistency graph: the max-clique replacement.
+
+The reference delegates to the external PMC library (12 CPU threads,
+branch-and-bound + k-core heuristics; reference: src/graph.cc:12-130).
+Branch-and-bound is serial-hostile, so the TPU-native design replaces it with
+two data-parallel primitives that together match PMC_HEU's behaviour:
+
+1. **k-core extraction** by fixed-point peeling (PMC's own bound + its
+   KCORE_HEU mode, src/graph.cc:59-82): repeatedly drop vertices with fewer
+   than k surviving neighbours; binary-search the largest non-empty k.
+   Each peel step is one (N,N)x(N,) mat-vec on the MXU.
+
+2. **batched greedy clique growth** (the parallel analog of pmc_heu's
+   kcore-seeded greedy search): from S seed vertices of maximal core,
+   repeatedly add the candidate with the highest degree inside the shrinking
+   candidate set. All S seeds grow simultaneously — each growth step is one
+   (S,N)x(N,N) matmul — and the largest resulting clique wins.
+
+Downstream GNC is robust to a slightly sub-maximal clique ("accuracy is not
+very important because Quatro is extremely robust", reference README.md:100).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _peel_to_kcore(adj_f: jnp.ndarray, alive: jnp.ndarray, k) -> jnp.ndarray:
+    """Fixed point of 'remove alive vertices with < k alive neighbours'.
+
+    adj_f: (N, N) float adjacency; alive: (N,) float mask; k: scalar.
+    Returns the k-core membership as a float mask.
+    """
+
+    def cond(state):
+        alive, changed = state
+        return changed
+
+    def body(state):
+        alive, _ = state
+        deg = adj_f @ alive
+        new_alive = alive * (deg >= k).astype(alive.dtype)
+        changed = jnp.any(new_alive != alive)
+        return new_alive, changed
+
+    out, _ = jax.lax.while_loop(cond, body, (alive, jnp.asarray(True)))
+    return out
+
+
+def max_kcore(adj: jnp.ndarray, mask: jnp.ndarray):
+    """Largest k with a non-empty k-core, plus that core's membership mask.
+
+    Binary search over k in [0, max_degree]; each probe runs peeling to a
+    fixed point. Equivalent to PMC's compute_cores()/get_max_core bound
+    (src/graph.cc:59-61) without per-vertex serial bucket updates.
+    """
+    adj_f = adj.astype(jnp.float32)
+    alive0 = mask.astype(jnp.float32)
+    deg0 = adj_f @ alive0
+    hi = jnp.max(jnp.where(mask, deg0, 0.0)).astype(jnp.int32)
+
+    def probe(k):
+        core = _peel_to_kcore(adj_f, alive0, k.astype(jnp.float32))
+        return jnp.sum(core) > 0, core
+
+    def body(state):
+        lo, hi, best_core = state
+        mid = (lo + hi + 1) // 2
+        nonempty, core = probe(mid)
+        lo = jnp.where(nonempty, mid, lo)
+        hi = jnp.where(nonempty, hi, mid - 1)
+        best_core = jnp.where(nonempty, core, best_core)
+        return lo, hi, best_core
+
+    def cond(state):
+        lo, hi, _ = state
+        return lo < hi
+
+    lo, _, best_core = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), hi, alive0))
+    return lo, best_core > 0
+
+
+@partial(jax.jit, static_argnames=("num_seeds", "max_size"))
+def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
+                   mask: jnp.ndarray, num_seeds: int = 16,
+                   max_size: int = 512) -> jnp.ndarray:
+    """Grow S greedy cliques in lock-step; return the best clique mask.
+
+    seed_scores ranks seed attractiveness (core-membership + degree).
+    Each growth round adds, per seed, the candidate with maximal degree
+    within that seed's candidate set — one (S,N)@(N,N) matmul per round.
+    """
+    n = adj.shape[0]
+    num_seeds = min(num_seeds, n)
+    adj_f = adj.astype(jnp.float32)
+    scores = jnp.where(mask, seed_scores, -jnp.inf)
+    _, seeds = jax.lax.top_k(scores, num_seeds)  # (S,)
+
+    clique = jax.nn.one_hot(seeds, n, dtype=jnp.float32)      # (S, N)
+    cand = adj_f[seeds] * mask.astype(jnp.float32)            # (S, N)
+
+    def cond(state):
+        clique, cand, rounds = state
+        return jnp.logical_and(jnp.any(jnp.sum(cand, axis=1) > 0),
+                               rounds < max_size)
+
+    def body(state):
+        clique, cand, rounds = state
+        # degree of each candidate within its candidate set
+        deg = (cand @ adj_f) * cand                            # (S, N)
+        # prefer higher degree; break ties by lower index for determinism
+        tiebreak = -jnp.arange(n, dtype=jnp.float32) * 1e-6
+        score = jnp.where(cand > 0, deg + tiebreak, -jnp.inf)
+        pick = jnp.argmax(score, axis=1)                       # (S,)
+        pick_oh = jax.nn.one_hot(pick, n, dtype=jnp.float32)
+        has_cand = (jnp.sum(cand, axis=1) > 0)[:, None].astype(jnp.float32)
+        clique = clique + pick_oh * has_cand
+        # candidates must neighbour every clique member -> intersect
+        cand = cand * adj_f[pick] * has_cand
+        cand = cand * (1.0 - clique)
+        return clique, cand, rounds + 1
+
+    clique, _, _ = jax.lax.while_loop(
+        cond, body, (clique, cand, jnp.asarray(0, jnp.int32)))
+
+    sizes = jnp.sum(clique, axis=1)
+    best = jnp.argmax(sizes)
+    return clique[best] > 0
+
+
+def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
+                   kcore_threshold: float = 0.5, num_seeds: int = 16,
+                   max_size: int = 512):
+    """Dispatch over the inlier-selection modes of Quatro::Params
+    (include/quatro.hpp:184-189,248): clique (PMC analog), kcore
+    (KCORE_HEU analog), none.
+
+    Returns (inlier_mask (N,) bool, valid () bool). valid is False when the
+    selected set has <= 1 vertex (reference aborts there,
+    include/quatro.hpp:809-813).
+    """
+    if mode == "none":
+        sel = mask
+    else:
+        max_core, kcore_mask = max_kcore(adj, mask)
+        if mode == "kcore":
+            # reference: src/graph.cc:67-82 — keep vertices of max core.
+            sel = kcore_mask & mask
+        else:
+            deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
+            seed_scores = kcore_mask.astype(jnp.float32) * 1e6 + deg
+            sel = greedy_cliques(adj, seed_scores, mask,
+                                 num_seeds=num_seeds, max_size=max_size) & mask
+    valid = jnp.sum(sel) > 1
+    return sel, valid

@@ -1,0 +1,162 @@
+"""The Quatro robust registration back-end, as one jittable function.
+
+Functional re-design of ``Quatro<S,T>::computeTransformation``
+(reference: include/quatro.hpp:769-936). The reference is a stateful PCL
+``Registration`` subclass mutating ~15 member matrices; here the entire
+solve is a pure function
+
+    (src (N,3), tgt (N,3), mask (N,)) x SolverConfig -> RegistrationSolution
+
+so it jits once, ``vmap``s over batches of scan pairs, and shards over a
+device mesh untouched. Stage order matches the reference driver exactly:
+
+    consistency graph -> inlier selection (max-clique replacement) ->
+    chain TIMs over the clique -> GNC-TLS rotation (yaw or SO(3)) ->
+    rotation-inlier chaining -> COTE translation -> compose [R|t].
+
+Noise-bound quirks of the reference are reproduced via explicit config
+(SolverConfig.rotation_noise_bound_scale / cote_noise_bound_coeff; see
+config.py for the file:line archaeology).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from quatro_tpu.config import SolverConfig
+from quatro_tpu.solver import clique as clique_mod
+from quatro_tpu.solver import rotation as rot_mod
+from quatro_tpu.solver import translation as trans_mod
+from quatro_tpu.solver.scale import tim_consistency_graph
+from quatro_tpu.types import RegistrationSolution
+
+
+def _chain_order(inlier_mask: jnp.ndarray):
+    """Sorted clique indices + cyclic successor, with static shapes.
+
+    Reproduces the sort + cyclic chain construction of the reference
+    (include/quatro.hpp:806,828-843): positions 0..m-1 hold the clique
+    indices ascending; leaf(i) = clique[(i+1) % m].
+    """
+    n = inlier_mask.shape[0]
+    iota = jnp.arange(n)
+    order = jnp.argsort(jnp.where(inlier_mask, iota, n + iota))
+    m = jnp.sum(inlier_mask).astype(jnp.int32)
+    nxt = jnp.where(iota + 1 < m, iota + 1, 0)
+    leaf = order[nxt]
+    chain_mask = iota < m
+    return order, leaf, chain_mask, m
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_correspondences(
+        src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
+        config: SolverConfig = SolverConfig(),
+        prior_ryrx: Optional[jnp.ndarray] = None) -> RegistrationSolution:
+    """Solve the robust registration problem on matched correspondences.
+
+    src, tgt: (N, 3) matched keypoints (padded); mask: (N,) validity.
+    prior_ryrx: optional IMU-derived roll/pitch rotation; the estimated yaw
+    is composed as Rz @ RyRx and COTE sees RyRx @ src
+    (reference: include/quatro.hpp:276-279,419-426,892).
+    """
+    dtype = src.dtype
+    n = src.shape[0]
+    if prior_ryrx is None:
+        prior_ryrx = jnp.eye(3, dtype=dtype)
+
+    scale = jnp.asarray(1.0, dtype)  # reference: include/quatro.hpp:361
+
+    # --- consistency graph + inlier selection -------------------------------
+    adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
+                                config.cbar2)
+    clique_mask, valid = clique_mod.select_inliers(
+        adj, mask, mode=config.inlier_selection_mode,
+        kcore_threshold=config.kcore_heuristic_threshold,
+        num_seeds=config.clique_num_seeds,
+        max_size=config.max_clique_size)
+
+    # --- chain TIMs over the clique (include/quatro.hpp:817-844) ------------
+    order, leaf, chain_mask, m = _chain_order(clique_mask)
+    chainf = chain_mask.astype(dtype)[:, None]
+    pruned_src_tims = (src[leaf] - src[order]) * chainf
+    pruned_dst_tims = (tgt[leaf] - tgt[order]) * chainf / scale
+
+    # --- GNC-TLS rotation ----------------------------------------------------
+    rot_noise_bound = config.noise_bound * config.rotation_noise_bound_scale
+    if config.reg_name == "Quatro":
+        gnc = rot_mod.gnc_rotation_2d(
+            pruned_src_tims[:, :2], pruned_dst_tims[:, :2], chain_mask,
+            rot_noise_bound, config.rotation_gnc_factor,
+            config.rotation_max_iterations, config.rotation_cost_threshold)
+        rotation = jnp.eye(3, dtype=dtype).at[:2, :2].set(gnc.rotation)
+    else:  # full SO(3) (TEASER mode)
+        gnc = rot_mod.gnc_rotation_3d(
+            pruned_src_tims, pruned_dst_tims, chain_mask,
+            rot_noise_bound, config.rotation_gnc_factor,
+            config.rotation_max_iterations, config.rotation_cost_threshold)
+        rotation = gnc.rotation
+    rotation = rotation @ prior_ryrx
+
+    # --- rotation-inlier chaining (include/quatro.hpp:860-874) ---------------
+    iota = jnp.arange(n)
+    prev = jnp.where(iota == 0, jnp.maximum(m - 1, 0), iota - 1)
+    rot_inliers = gnc.inlier_mask & gnc.inlier_mask[prev] & chain_mask
+    num_rot_inliers = jnp.sum(rot_inliers).astype(jnp.int32)
+
+    # --- COTE translation (include/quatro.hpp:879-911) -----------------------
+    if config.using_rot_inliers_when_estimating_cote:
+        # Compact rotation-inlier chain positions; fall back to the clique
+        # when there are none (reference N_R > 0 check).
+        use_rot = num_rot_inliers > 0
+        sel_mask = jnp.where(use_rot, rot_inliers, chain_mask)
+    else:
+        sel_mask = chain_mask
+    pos_order = jnp.argsort(jnp.where(sel_mask, iota, n + iota))
+    sel_count = jnp.sum(sel_mask).astype(jnp.int32)
+    cote_mask = iota < sel_count
+    sel_idx = order[pos_order]                 # original correspondence index
+    # COTE sees scale * R @ src with R = Rz @ RyRx applied ONCE. (The
+    # reference applies RyRx twice when a prior is set — once at
+    # include/quatro.hpp:892 and again inside solution_.rotation at :906 —
+    # a latent upstream bug that is a no-op for its identity-prior default;
+    # we fix it rather than replicate it.)
+    cote_src = src[sel_idx]
+    cote_dst = tgt[sel_idx]
+
+    cote = trans_mod.solve_translation(
+        (scale * cote_src) @ rotation.T, cote_dst, cote_mask,
+        config.noise_bound * config.cote_noise_bound_coeff, config.cbar2,
+        use_median=(config.cote_mode == "median"))
+
+    # --- final inliers back in correspondence index space --------------------
+    final_mask = jnp.zeros((n,), bool).at[sel_idx].set(
+        cote.inlier_mask & cote_mask)
+
+    return RegistrationSolution(
+        valid=valid,
+        scale=scale,
+        rotation=jnp.where(valid, rotation, jnp.eye(3, dtype=dtype)),
+        translation=jnp.where(valid, cote.translation,
+                              jnp.zeros(3, dtype=dtype)),
+        max_clique_mask=clique_mask,
+        final_inlier_mask=final_mask & valid,
+        num_rotation_inliers=num_rot_inliers,
+        gnc_iterations=gnc.iterations,
+        gnc_cost=gnc.cost,
+    )
+
+
+def register_batch(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
+                   config: SolverConfig = SolverConfig()) -> RegistrationSolution:
+    """vmap of the solver over a leading batch of scan pairs.
+
+    The reference has no batch axis at all (single pair per process); this is
+    the TPU throughput path — per-pair failure is masked via solution.valid.
+    """
+    return jax.vmap(lambda s, t, m: register_correspondences(s, t, m, config)
+                    )(src, tgt, mask)

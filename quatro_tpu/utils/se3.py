@@ -1,0 +1,57 @@
+"""SE(3) / yaw-rotation helpers shared across solver and tests."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def yaw_to_rotation(theta):
+    """3x3 rotation about +z by angle theta (quasi-SO(3) embedding,
+    reference: include/quatro.hpp:404-408)."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    rows = jnp.stack([
+        jnp.stack([c, -s, z], axis=-1),
+        jnp.stack([s, c, z], axis=-1),
+        jnp.stack([z, z, o], axis=-1),
+    ], axis=-2)
+    return rows
+
+
+def rotation_to_yaw(rot):
+    """Extract yaw angle from a (yaw-only) rotation matrix."""
+    return jnp.arctan2(rot[..., 1, 0], rot[..., 0, 0])
+
+
+def make_transform(rotation, translation):
+    """Compose a 4x4 homogeneous transform."""
+    dtype = rotation.dtype
+    out = jnp.eye(4, dtype=dtype)
+    out = out.at[:3, :3].set(rotation)
+    out = out.at[:3, 3].set(translation.astype(dtype))
+    return out
+
+
+def apply_transform(transform, points):
+    """Apply a (4,4) transform to (..., 3) points."""
+    rot = transform[:3, :3]
+    t = transform[:3, 3]
+    return points @ rot.T + t
+
+
+def rotation_geodesic_error(r1, r2):
+    """Angle in radians between two rotation matrices."""
+    cos = (jnp.trace(r1.T @ r2) - 1.0) / 2.0
+    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+
+
+def rotation_from_rpy(roll, pitch, yaw):
+    """Rz(yaw) @ Ry(pitch) @ Rx(roll)."""
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    rx = jnp.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = jnp.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = jnp.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return rz @ ry @ rx
