@@ -1,0 +1,80 @@
+"""End-to-end registration pipeline.
+
+Mirrors the reference application flow (examples/run_global_registration.cpp:
+127-251): preprocessing -> voxel -> FPFH -> matching -> Quatro solve, as one
+jittable function over fixed-capacity padded clouds.
+
+``register_scan_pair`` is the full path; ``register_features`` is the
+front-end-only slice (no ground segmentation / sub-clustering) matching the
+reference's observation that preprocessing is a speed/robustness booster,
+not a correctness requirement (reference: README.md:102).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quatro_tpu.config import PipelineConfig
+from quatro_tpu.ops.fpfh import compute_fpfh
+from quatro_tpu.ops.matching import Correspondences, match_features
+from quatro_tpu.ops.neighbors import radius_neighbors
+from quatro_tpu.ops.normals import estimate_normals
+from quatro_tpu.ops.voxel import voxel_downsample
+from quatro_tpu.solver.quatro import register_correspondences
+from quatro_tpu.types import PointBatch, RegistrationSolution
+
+
+class PipelineResult(NamedTuple):
+    solution: RegistrationSolution
+    correspondences: Correspondences
+    src_voxels: PointBatch
+    tgt_voxels: PointBatch
+
+
+def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
+                     config: PipelineConfig):
+    """Voxel downsample -> normals -> FPFH for one cloud.
+
+    Returns (voxel PointBatch, descriptors (V, 33), descriptor mask).
+    Mirrors FPFHManager::setFeaturePair's per-cloud half
+    (reference: include/fpfh_manager.hpp:98-129).
+    """
+    vox_pts, vox_mask = voxel_downsample(points, mask, config.voxel_size,
+                                         config.max_voxels)
+    nbrs_n = radius_neighbors(vox_pts, vox_mask, config.fpfh.normal_radius,
+                              config.fpfh.max_neighbors_normal)
+    normals = estimate_normals(vox_pts, nbrs_n)
+    nbrs_f = radius_neighbors(vox_pts, vox_mask, config.fpfh.fpfh_radius,
+                              config.fpfh.max_neighbors_fpfh)
+    desc = compute_fpfh(vox_pts, normals.normals, nbrs_f)
+    desc_mask = vox_mask & normals.valid
+    return PointBatch(vox_pts, vox_mask), desc, desc_mask
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_features(src: PointBatch, tgt: PointBatch,
+                      config: PipelineConfig = PipelineConfig()
+                      ) -> PipelineResult:
+    """Front-end slice: feature extraction + matching + solve on
+    already-preprocessed clouds (the minimum end-to-end path)."""
+    src_vox, src_desc, src_dmask = extract_features(src.points, src.mask,
+                                                    config)
+    tgt_vox, tgt_desc, tgt_dmask = extract_features(tgt.points, tgt.mask,
+                                                    config)
+
+    corr = match_features(
+        src_vox.points, tgt_vox.points, src_desc, tgt_desc,
+        src_dmask, tgt_dmask,
+        capacity=config.fpfh.max_correspondences,
+        use_tuple_test=config.fpfh.use_tuple_test,
+        tuple_scale=config.fpfh.tuple_scale,
+        trials_per_corr=config.fpfh.tuple_trials_per_corr,
+        seed=config.fpfh.tuple_seed)
+
+    sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
+                                   config.solver)
+    return PipelineResult(sol, corr, src_vox, tgt_vox)

@@ -1,0 +1,162 @@
+"""Unit tests for the feature front-end ops."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quatro_tpu.ops.voxel import voxel_downsample
+from quatro_tpu.ops.neighbors import radius_neighbors
+from quatro_tpu.ops.normals import estimate_normals, smallest_eigenvector_3x3
+from quatro_tpu.ops.fpfh import compute_fpfh, compute_spfh, pair_features
+from quatro_tpu.ops.matching import match_features
+
+
+def test_voxel_downsample_centroids():
+    # two clusters, one voxel each at leaf 1.0
+    pts = np.array([[0.1, 0.1, 0.1], [0.3, 0.2, 0.1], [0.2, 0.3, 0.4],
+                    [5.1, 5.1, 5.1], [5.3, 5.2, 5.4]], np.float32)
+    mask = np.ones(5, bool)
+    out, omask = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask),
+                                  1.0, capacity=8)
+    out, omask = np.asarray(out), np.asarray(omask)
+    assert omask.sum() == 2
+    got = sorted(out[omask].tolist())
+    np.testing.assert_allclose(got[0], pts[:3].mean(0), atol=1e-5)
+    np.testing.assert_allclose(got[1], pts[3:].mean(0), atol=1e-5)
+
+
+def test_voxel_downsample_respects_mask_and_capacity(rng):
+    pts = rng.uniform(0, 100, (256, 3)).astype(np.float32)
+    mask = rng.random(256) < 0.5
+    out, omask = voxel_downsample(jnp.asarray(pts), jnp.asarray(mask),
+                                  0.5, capacity=64)
+    assert np.asarray(omask).sum() <= 64
+    # all output points must be near some input point (centroid of few)
+    valid_in = pts[mask]
+    d = np.linalg.norm(np.asarray(out)[np.asarray(omask)][:, None]
+                       - valid_in[None], axis=-1)
+    assert (d.min(axis=1) < 0.9).all()
+
+
+def test_radius_neighbors_against_bruteforce(rng):
+    n, k, r = 128, 16, 1.0
+    pts = rng.uniform(0, 4, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    mask[::7] = False
+    res = radius_neighbors(jnp.asarray(pts), jnp.asarray(mask), r, k,
+                           tile=64)
+    idx, valid = np.asarray(res.idx), np.asarray(res.valid)
+    d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    d[:, ~mask] = np.inf
+    for i in range(0, n, 13):
+        if not mask[i]:
+            assert not valid[i].any()
+            continue
+        true_nbrs = set(np.where(d[i] <= r)[0].tolist())
+        got = set(idx[i][valid[i]].tolist())
+        if len(true_nbrs) <= k:
+            assert got == true_nbrs
+        else:
+            assert got <= true_nbrs and len(got) == k
+
+
+def test_smallest_eigenvector_matches_numpy(rng):
+    mats = rng.normal(size=(50, 3, 3))
+    mats = mats @ mats.transpose(0, 2, 1)  # SPD
+    vec, val = smallest_eigenvector_3x3(jnp.asarray(mats, jnp.float32))
+    vec, val = np.asarray(vec), np.asarray(val)
+    for i in range(50):
+        w, v = np.linalg.eigh(mats[i])
+        assert abs(val[i] - w[0]) < 1e-3 * max(1, abs(w[0]))
+        cos = abs(np.dot(vec[i], v[:, 0]))
+        assert cos > 0.999, f"eigvec mismatch {cos}"
+
+
+def test_normals_on_plane(rng):
+    # points on z = 0.5x + const plane -> normal ~ (-0.5, 0, 1)/norm
+    n = 256
+    xy = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+    z = 0.5 * xy[:, 0] + 1.0
+    pts = np.column_stack([xy, z]).astype(np.float32)
+    mask = np.ones(n, bool)
+    nbrs = radius_neighbors(jnp.asarray(pts), jnp.asarray(mask), 2.0, 24,
+                            tile=64)
+    res = estimate_normals(jnp.asarray(pts), nbrs)
+    expected = np.array([-0.5, 0, 1.0]) / np.linalg.norm([-0.5, 0, 1.0])
+    nrm = np.asarray(res.normals)
+    cos = np.abs(nrm @ expected)
+    assert (cos[np.asarray(res.valid)] > 0.99).all()
+    # orientation: toward origin viewpoint -> n . (0 - p) >= 0
+    dots = np.sum(nrm * (-pts), axis=1)
+    assert (dots[np.asarray(res.valid)] >= -1e-5).all()
+
+
+def test_pair_features_ranges(rng):
+    p1 = rng.normal(size=(100, 3)).astype(np.float32)
+    p2 = rng.normal(size=(100, 3)).astype(np.float32)
+    n1 = rng.normal(size=(100, 3)).astype(np.float32)
+    n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
+    n2 = rng.normal(size=(100, 3)).astype(np.float32)
+    n2 /= np.linalg.norm(n2, axis=1, keepdims=True)
+    f1, f2, f3, ok = pair_features(jnp.asarray(p1), jnp.asarray(n1),
+                                   jnp.asarray(p2), jnp.asarray(n2))
+    f1, f2, f3 = np.asarray(f1), np.asarray(f2), np.asarray(f3)
+    ok = np.asarray(ok)
+    assert (np.abs(f1[ok]) <= np.pi + 1e-5).all()
+    assert (np.abs(f2[ok]) <= 1 + 1e-5).all()
+    assert (np.abs(f3[ok]) <= 1 + 1e-5).all()
+
+
+def test_fpfh_blocks_normalized(rng):
+    n = 64
+    pts = rng.uniform(0, 2, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    nbrs = radius_neighbors(jnp.asarray(pts), jnp.asarray(mask), 1.5, 16,
+                            tile=64)
+    nrm = estimate_normals(jnp.asarray(pts), nbrs)
+    desc = np.asarray(compute_fpfh(jnp.asarray(pts), nrm.normals, nbrs))
+    assert desc.shape == (n, 33)
+    for s in range(0, 33, 11):
+        np.testing.assert_allclose(desc[:, s:s + 11].sum(1), 100.0,
+                                   atol=1e-2)
+
+
+def test_fpfh_invariant_to_yaw_about_viewpoint(rng):
+    """Descriptors are invariant to rotation about the viewpoint: the whole
+    sensor-relative geometry (and thus normal orientation) rotates rigidly.
+    (Full translation invariance does NOT hold for viewpoint-oriented
+    normals — neither here nor in PCL; scan pairs are sensor-relative.)"""
+    n = 128
+    pts = rng.uniform(1, 4, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    theta = 0.8
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    pts2 = (pts @ rot.T).astype(np.float32)
+
+    def desc_of(p):
+        nbrs = radius_neighbors(jnp.asarray(p), jnp.asarray(mask), 1.2, 24,
+                                tile=64)
+        nrm = estimate_normals(jnp.asarray(p), nbrs)
+        return np.asarray(compute_fpfh(jnp.asarray(p), nrm.normals, nbrs))
+
+    d1, d2 = desc_of(pts), desc_of(pts2)
+    err = np.linalg.norm(d1 - d2, axis=1)
+    assert np.median(err) < 1.0, f"median descriptor drift {np.median(err)}"
+
+
+def test_match_features_recovers_identity_pairs(rng):
+    # identical clouds -> matcher should pair i <-> i for most points
+    n = 128
+    pts = rng.uniform(0, 5, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+    nbrs = radius_neighbors(jnp.asarray(pts), jnp.asarray(mask), 1.5, 24,
+                            tile=64)
+    nrm = estimate_normals(jnp.asarray(pts), nbrs)
+    desc = compute_fpfh(jnp.asarray(pts), nrm.normals, nbrs)
+    corr = match_features(jnp.asarray(pts), jnp.asarray(pts), desc, desc,
+                          jnp.asarray(mask), jnp.asarray(mask),
+                          capacity=256)
+    m = np.asarray(corr.mask)
+    assert m.sum() > 0.5 * n
+    same = (np.asarray(corr.src_idx) == np.asarray(corr.tgt_idx))[m]
+    assert same.mean() > 0.95
