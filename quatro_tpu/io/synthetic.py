@@ -88,7 +88,7 @@ def _ray_box_hits(origins: np.ndarray, dirs: np.ndarray,
 def raycast_scan(scene: Scene, sensor_xyz: np.ndarray, sensor_yaw: float,
                  lidar: LidarConfig = LidarConfig(), max_range: float = 80.0,
                  noise_std: float = 0.008, dropout: float = 0.05,
-                 seed: int = 0) -> np.ndarray:
+                 texture_amp: float = 0.06, seed: int = 0) -> np.ndarray:
     """Simulate one spinning-LiDAR scan; returns (N,3) points in SENSOR frame.
 
     The ray grid mirrors the reference's range-image geometry
@@ -131,6 +131,17 @@ def raycast_scan(scene: Scene, sensor_xyz: np.ndarray, sensor_yaw: float,
     t = t + rng.normal(0, noise_std, t.shape)  # range noise
 
     pts_world = origins[valid] + dirs[valid] * t[valid, None]
+    if texture_amp > 0:
+        # World-anchored surface texture: a smooth pseudorandom range
+        # displacement that is a pure function of world position, so both
+        # scans of a pair see CONSISTENT structure (like real facades /
+        # vegetation). Perfectly flat synthetic walls would otherwise make
+        # FPFH translation-degenerate along the surface.
+        px, py, pz = pts_world.T
+        bump = (np.sin(2.1 * px + 0.7) * np.sin(1.9 * py + 1.3)
+                * np.sin(2.3 * pz + 0.5)
+                + 0.5 * np.sin(4.3 * px - 1.1) * np.sin(3.7 * pz + 2.0))
+        pts_world = pts_world + dirs[valid] * (texture_amp * bump)[:, None]
     # World -> sensor frame: p_s = Rz(yaw)^T (p_w - origin)
     c, s_ = np.cos(sensor_yaw), np.sin(sensor_yaw)
     rot_t = np.array([[c, s_, 0], [-s_, c, 0], [0, 0, 1]])

@@ -24,6 +24,8 @@ from quatro_tpu.ops.matching import Correspondences, match_features
 from quatro_tpu.ops.neighbors import radius_neighbors
 from quatro_tpu.ops.normals import estimate_normals
 from quatro_tpu.ops.voxel import voxel_downsample
+from quatro_tpu.preprocessing.patchwork import estimate_ground
+from quatro_tpu.preprocessing.projection import segment_cloud
 from quatro_tpu.solver.quatro import register_correspondences
 from quatro_tpu.types import PointBatch, RegistrationSolution
 
@@ -78,3 +80,40 @@ def register_features(src: PointBatch, tgt: PointBatch,
     sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
                                    config.solver)
     return PipelineResult(sol, corr, src_vox, tgt_vox)
+
+
+def preprocess(points: jnp.ndarray, mask: jnp.ndarray,
+               config: PipelineConfig):
+    """Ground segmentation + sub-cluster rejection for one raw scan.
+
+    Mirrors the reference's STEP 2-3 (examples/run_global_registration.cpp:
+    128-162): Patchwork mode removes ground first, then clusters the
+    non-ground cloud; LeGO-LOAM mode clusters the raw cloud with its own
+    vertical-angle ground test.
+
+    Returns (valid_segment_mask (N,), ground_mask (N,)).
+    """
+    if config.ground_segmentation_mode == "Patchwork":
+        pw = estimate_ground(points, mask, config.patchwork)
+        proj = segment_cloud(points, pw.nonground, config.lidar,
+                             config.projection, ground_mode="Patchwork")
+        return proj.valid_segments, pw.ground
+    proj = segment_cloud(points, mask, config.lidar, config.projection,
+                         ground_mode="LeGO-LOAM")
+    return proj.valid_segments, proj.ground
+
+
+@partial(jax.jit, static_argnames=("config",))
+def register_scan_pair(src: PointBatch, tgt: PointBatch,
+                       config: PipelineConfig = PipelineConfig()
+                       ) -> PipelineResult:
+    """Full pipeline on raw scans (the reference's main() flow,
+    examples/run_global_registration.cpp:127-251):
+
+        Patchwork ground removal -> range-image sub-cluster rejection ->
+        voxel -> FPFH -> matching -> Quatro solve.
+    """
+    src_seg, _ = preprocess(src.points, src.mask, config)
+    tgt_seg, _ = preprocess(tgt.points, tgt.mask, config)
+    return register_features(PointBatch(src.points, src_seg),
+                             PointBatch(tgt.points, tgt_seg), config)

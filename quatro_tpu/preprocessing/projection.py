@@ -1,0 +1,220 @@
+"""Range-image projection + angle-criterion sub-clustering.
+
+Replaces the LeGO-LOAM-derived ``ImageProjection``
+(reference: include/imageProjection.hpp): per-point spherical projection to
+an (n_scan x horizon_scan) range image (:308-352), optional LeGO-LOAM ground
+removal (:365-422) or Patchwork ground masking (:354-363), then sub-cluster
+labeling with the angle criterion and a size/line-count validity gate
+(:424-581).
+
+TPU-native design: the reference's serial manual-queue BFS flood fill
+(:485-581) is re-designed as connected components via iterated min-label
+propagation with pointer jumping — edges are precomputed per neighbor
+offset as full-image boolean masks (the angle criterion is symmetric), and
+each round does one masked 2-D min + one gather (label = label[label]),
+converging in O(log diameter) rounds instead of O(pixels) pops.
+
+Pixel ownership is deterministic: the closest return wins a pixel, ties by
+lowest point index (the reference's last-write-wins depends on scan order).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quatro_tpu.config import LidarConfig, ProjectionConfig
+
+
+class ProjectionResult(NamedTuple):
+    valid_segments: jax.Array   # (N,) bool — points in accepted sub-clusters
+    outliers: jax.Array         # (N,) bool — points in rejected sub-clusters
+    ground: jax.Array           # (N,) bool — LeGO-LOAM mode only
+    range_image: jax.Array      # (R, C) f32, +inf where empty
+    label_image: jax.Array      # (R, C) int32 component ids, -1 invalid
+    owner: jax.Array            # (R, C) int32 owning point index, -1 empty
+
+
+def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
+                           lidar: LidarConfig, min_range: float = 0.1):
+    """Spherical projection (reference: include/imageProjection.hpp:308-352).
+
+    Returns (rows (N,), cols (N,), ranges (N,), in_image (N,),
+    range_image (R, C), owner (R, C)).
+    """
+    dtype = points.dtype
+    rows_n, cols_n = lidar.n_scan, lidar.horizon_scan
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    rxy = jnp.hypot(x, y)
+    rng = jnp.sqrt(jnp.maximum(x * x + y * y + z * z, 0.0))
+
+    vert = jnp.degrees(jnp.arctan2(z, rxy))
+    row = jnp.floor((vert + lidar.ang_bottom) / lidar.ang_res_y).astype(jnp.int32)
+    horiz = jnp.degrees(jnp.arctan2(x, y))
+    col = (-jnp.round((horiz - 90.0) / lidar.ang_res_x)).astype(jnp.int32) \
+        + cols_n // 2
+    col = jnp.where(col >= cols_n, col - cols_n, col)
+
+    ok = (mask & (row >= 0) & (row < rows_n) & (col >= 0) & (col < cols_n)
+          & (rng >= min_range))
+    flat = jnp.where(ok, row * cols_n + col, rows_n * cols_n)
+
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    img = jnp.full((rows_n * cols_n + 1,), big, dtype).at[flat].min(
+        jnp.where(ok, rng, big))[:-1]
+    # deterministic owner: among returns within 1e-4 of the pixel minimum,
+    # the lowest point index wins.
+    n = points.shape[0]
+    pix_min = img.reshape(-1)[jnp.minimum(flat, rows_n * cols_n - 1)]
+    near_min = ok & (rng <= pix_min + 1e-4)
+    owner = jnp.full((rows_n * cols_n + 1,), n, jnp.int32).at[flat].min(
+        jnp.where(near_min, jnp.arange(n, dtype=jnp.int32), n))[:-1]
+    owner = jnp.where(owner == n, -1, owner)
+    return (row, col, rng, ok,
+            img.reshape(rows_n, cols_n), owner.reshape(rows_n, cols_n))
+
+
+def _neighbor_edges(rimg: jnp.ndarray, valid: jnp.ndarray, dr: int, dc: int,
+                    lidar: LidarConfig, theta_rad: float):
+    """Symmetric angle-criterion edge mask toward neighbor (dr, dc)
+    (reference: include/imageProjection.hpp:526-541). Columns wrap, rows
+    clamp (out-of-range rows yield no edge)."""
+    shifted = jnp.roll(rimg, (-dr, -dc), axis=(0, 1))
+    svalid = jnp.roll(valid, (-dr, -dc), axis=(0, 1))
+    if dr != 0:  # row shift must not wrap
+        rows = rimg.shape[0]
+        ridx = jnp.arange(rows)[:, None]
+        inb = (ridx + dr >= 0) & (ridx + dr < rows)
+        svalid = svalid & inb
+
+    d1 = jnp.maximum(rimg, shifted)
+    d2 = jnp.minimum(rimg, shifted)
+    alpha = jnp.deg2rad(lidar.ang_res_x if dr == 0 else lidar.ang_res_y)
+    angle = jnp.arctan2(d2 * jnp.sin(alpha), d1 - d2 * jnp.cos(alpha))
+    return valid & svalid & (angle > theta_rad)
+
+
+@partial(jax.jit, static_argnames=("lidar", "cfg"))
+def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
+                     lidar: LidarConfig, cfg: ProjectionConfig):
+    """Connected components under the angle criterion.
+
+    Returns (labels (R, C) int32: min flat index of the component, -1 for
+    invalid pixels; feasible (R*C,) bool gate per label id).
+    """
+    rows, cols = rimg.shape
+    npix = rows * cols
+    theta = jnp.deg2rad(cfg.segment_theta_deg)
+
+    edges = [(_neighbor_edges(rimg, valid, dr, dc, lidar, theta), dr, dc)
+             for dr, dc in cfg.neighbor_offsets]
+
+    flat_iota = jnp.arange(npix, dtype=jnp.int32).reshape(rows, cols)
+    labels0 = jnp.where(valid, flat_iota, npix)
+
+    def propagate(labels):
+        best = labels
+        for e, dr, dc in edges:
+            cand = jnp.roll(labels, (-dr, -dc), axis=(0, 1))
+            best = jnp.minimum(best, jnp.where(e, cand, npix))
+        # pointer jumping: label <- label[label] (x2)
+        flat = best.reshape(-1)
+        padded = jnp.concatenate([flat, jnp.asarray([npix], jnp.int32)])
+        flat = padded[jnp.minimum(flat, npix)]
+        flat = padded[jnp.minimum(flat, npix)]
+        return jnp.where(valid, flat.reshape(rows, cols), npix)
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return jnp.logical_and(prev_changed, it < cfg.max_cc_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = propagate(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+
+    flat_labels = jnp.where(valid, labels, npix).reshape(-1)
+    sizes = jax.ops.segment_sum(valid.reshape(-1).astype(jnp.int32),
+                                flat_labels, num_segments=npix + 1)[:npix]
+
+    # distinct scan rows per component (reference lineCountFlag,
+    # include/imageProjection.hpp:549,565-571)
+    def row_count(r, acc):
+        lr = jnp.where(valid[r], labels[r], npix)
+        present = jnp.zeros((npix + 1,), jnp.int32).at[lr].max(
+            valid[r].astype(jnp.int32))[:npix]
+        return acc + present
+
+    rows_per = jax.lax.fori_loop(0, rows, row_count,
+                                 jnp.zeros((npix,), jnp.int32))
+
+    feasible = (sizes >= cfg.min_pts_for_subcluster) | (
+        (sizes >= cfg.segment_valid_point_num)
+        & (rows_per >= cfg.segment_valid_line_num))
+    labels_out = jnp.where(valid, labels, -1)
+    return labels_out, feasible
+
+
+@partial(jax.jit, static_argnames=("lidar", "cfg", "ground_mode"))
+def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
+                  lidar: LidarConfig = LidarConfig(),
+                  cfg: ProjectionConfig = ProjectionConfig(),
+                  ground_mode: str = "Patchwork") -> ProjectionResult:
+    """Full ImageProjection::segmentCloud equivalent
+    (reference: include/imageProjection.hpp:273-294).
+
+    In "Patchwork" mode the input is already non-ground; empty pixels are
+    simply invalid. In "LeGO-LOAM" mode the vertical-angle ground test
+    (:365-399) marks ground pixels before clustering.
+    """
+    rows_n, cols_n = lidar.n_scan, lidar.horizon_scan
+    row, col, rng, ok, rimg, owner = project_to_range_image(
+        points, mask, lidar, cfg.min_range)
+    occupied = owner >= 0
+
+    if ground_mode == "LeGO-LOAM":
+        pix_pts = jnp.where(occupied[..., None],
+                            points[jnp.maximum(owner, 0)], 0.0)
+        upper = jnp.roll(pix_pts, -1, axis=0)
+        upper_occ = jnp.roll(occupied, -1, axis=0)
+        diff = upper - pix_pts
+        angle = jnp.degrees(jnp.arctan2(
+            diff[..., 2], jnp.hypot(diff[..., 0], diff[..., 1])))
+        gseed = (jnp.abs(angle) <= 10.0) & occupied & upper_occ
+        ridx = jnp.arange(rows_n)[:, None]
+        gseed = gseed & (ridx < lidar.ground_scan_ind)
+        ground_pix = gseed | jnp.roll(gseed, 1, axis=0)
+    else:
+        ground_pix = jnp.zeros_like(occupied)
+
+    cluster_valid = occupied & ~ground_pix
+    labels, feasible = label_components(rimg, cluster_valid, lidar, cfg)
+
+    npix = rows_n * cols_n
+    lab_flat = jnp.where(labels >= 0, labels, npix).reshape(-1)
+    feas_pad = jnp.concatenate([feasible, jnp.zeros(1, bool)])
+    pix_feasible = feas_pad[jnp.minimum(lab_flat, npix)].reshape(rows_n, cols_n)
+
+    valid_seg_pix = cluster_valid & pix_feasible
+    outlier_pix = cluster_valid & ~pix_feasible
+
+    n = points.shape[0]
+
+    def pix_to_points(pixmask):
+        own = jnp.where(pixmask & occupied, owner, n).reshape(-1)
+        return jnp.zeros((n + 1,), bool).at[own].set(True)[:n]
+
+    return ProjectionResult(
+        valid_segments=pix_to_points(valid_seg_pix),
+        outliers=pix_to_points(outlier_pix),
+        ground=pix_to_points(ground_pix),
+        range_image=rimg,
+        label_image=labels,
+        owner=owner,
+    )

@@ -43,3 +43,27 @@ def test_front_end_slice_recovers_transform(scan_pair):
                                      - gt[:3, 3]))
     assert rot_err < 0.05, f"rotation error {rot_err} rad"
     assert trans_err < 0.5, f"translation error {trans_err} m"
+
+
+def test_full_pipeline_with_preprocessing(scan_pair):
+    """Raw scans -> Patchwork -> projection -> voxel -> FPFH -> solve
+    (the reference's complete main() flow on the toy pair)."""
+    from quatro_tpu.pipeline import register_scan_pair
+
+    src_xyz, tgt_xyz, gt = scan_pair
+    cfg = PipelineConfig(max_voxels=8192)
+    src = PointBatch.from_numpy(src_xyz, capacity=131072)
+    tgt = PointBatch.from_numpy(tgt_xyz, capacity=131072)
+
+    res = register_scan_pair(src, tgt, cfg)
+    sol = res.solution
+    assert bool(sol.valid)
+    n_corr = int(np.asarray(res.correspondences.mask).sum())
+    assert n_corr >= 10, f"too few correspondences: {n_corr}"
+
+    rot_err = float(rotation_geodesic_error(jnp.asarray(gt[:3, :3]),
+                                            sol.rotation))
+    trans_err = float(np.linalg.norm(np.asarray(sol.translation)
+                                     - gt[:3, 3]))
+    assert rot_err < 0.05, f"rotation error {rot_err} rad"
+    assert trans_err < 0.6, f"translation error {trans_err} m"
