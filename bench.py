@@ -1,0 +1,75 @@
+"""Benchmark: full-pipeline registration throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: >100 registrations/s/chip (BASELINE.md build targets);
+the reference C++ pipeline runs ~5 pairs/s on 4 CPU threads (~0.2 s
+front-end per pair, reference README.md:104).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    try:  # persistent compile cache: bench pays the axon remote-compile once
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from quatro_tpu.config import FPFHConfig, PipelineConfig
+    from quatro_tpu.io.synthetic import make_scan_pair
+    from quatro_tpu.pipeline import register_scan_pair
+    from quatro_tpu.types import PointBatch
+
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    config = PipelineConfig(
+        max_raw_points=131072, max_voxels=8192,
+        fpfh=FPFHConfig(max_correspondences=1024))
+
+    pairs = []
+    for s in range(n_pairs):
+        a, b, _ = make_scan_pair(seed=s, yaw_deg=10.0 + 7 * s,
+                                 translation=(2.0 + 0.3 * s, 1.0 - 0.2 * s,
+                                              0.05))
+        pairs.append((PointBatch.from_numpy(a, 131072),
+                      PointBatch.from_numpy(b, 131072)))
+
+    fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+
+    out = fn(*pairs[0])  # compile + warm
+    jax.block_until_ready(out.solution.rotation)
+
+    iters = 8
+    outs = []
+    t0 = time.time()
+    for _ in range(iters):
+        for s, t in pairs:  # async dispatch pipelines the independent solves
+            outs.append(fn(s, t))
+    jax.block_until_ready([o.solution.rotation for o in outs])
+    dt = time.time() - t0
+    pairs_per_s = n_pairs * iters / dt
+    n_valid = int(np.sum([np.asarray(o.solution.valid)
+                          for o in outs[:n_pairs]]))
+
+    print(json.dumps({
+        "metric": "full_pipeline_registrations_per_sec_per_chip",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / 100.0, 3),
+        "detail": {
+            "distinct_pairs": n_pairs, "iters": iters,
+            "valid_pairs": f"{n_valid}/{n_pairs}",
+            "raw_points_per_scan": 106000,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

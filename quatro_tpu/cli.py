@@ -1,0 +1,172 @@
+"""Command-line application: the reference demo without ROS.
+
+Replaces ``examples/run_global_registration.cpp``: loads two scans
+(KITTI .bin or synthetic), runs the full pipeline, prints the per-stage
+point-count table and timing splits the reference prints
+(run_global_registration.cpp:168-236,248-251), and optionally dumps PLY
+artifacts instead of rviz topics.
+
+Usage:
+    python -m quatro_tpu.cli register SRC.bin TGT.bin [options]
+    python -m quatro_tpu.cli register --synthetic [--seed 0] [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(args):
+    from quatro_tpu.config import (FPFHConfig, LidarConfig, PipelineConfig,
+                                   SolverConfig)
+    return PipelineConfig(
+        lidar=LidarConfig.preset(args.lidar_type),
+        ground_segmentation_mode=args.ground_mode,
+        voxel_size=args.voxel_size,
+        max_voxels=args.max_voxels,
+        fpfh=FPFHConfig(normal_radius=args.normal_radius,
+                        fpfh_radius=args.fpfh_radius,
+                        max_correspondences=args.max_correspondences),
+        solver=SolverConfig(reg_name=args.reg_type,
+                            noise_bound=args.noise_bound,
+                            rotation_gnc_factor=args.gnc_factor,
+                            rotation_max_iterations=args.num_max_iter,
+                            rotation_cost_threshold=args.rot_cost_diff_thr))
+
+
+def cmd_register(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    from quatro_tpu.pipeline import register_scan_pair
+    from quatro_tpu.types import PointBatch
+    from quatro_tpu.utils.profiling import StageTimer
+
+    config = _build_config(args)
+
+    if args.synthetic:
+        from quatro_tpu.io.synthetic import make_scan_pair
+        src_xyz, tgt_xyz, gt = make_scan_pair(seed=args.seed,
+                                              lidar=config.lidar)
+    else:
+        from quatro_tpu.io.kitti import load_kitti_bin
+        src_xyz = load_kitti_bin(args.src)
+        tgt_xyz = load_kitti_bin(args.tgt)
+        gt = None
+
+    cap = args.max_raw_points
+    src = PointBatch.from_numpy(src_xyz, capacity=cap)
+    tgt = PointBatch.from_numpy(tgt_xyz, capacity=cap)
+
+    timer = StageTimer()
+    fn = jax.jit(lambda a, b: register_scan_pair(a, b, config))
+    with timer.stage("compile+first run"):
+        res = fn(src, tgt)
+        jax.block_until_ready(res.solution.rotation)
+    with timer.stage("steady-state solve"):
+        res = fn(src, tgt)
+        jax.block_until_ready(res.solution.rotation)
+
+    sol = res.solution
+    n_corr = int(np.asarray(res.correspondences.mask).sum())
+
+    # stage table (reference: run_global_registration.cpp:168-236)
+    rows = [
+        ("# of raw cloud", int(src.mask.sum()), int(tgt.mask.sum())),
+        ("# after voxelization", int(np.asarray(res.src_voxels.mask).sum()),
+         int(np.asarray(res.tgt_voxels.mask).sum())),
+        ("# after matching", n_corr, n_corr),
+        ("# max clique", int(np.asarray(sol.max_clique_mask).sum()), ""),
+        ("# final inliers", int(np.asarray(sol.final_inlier_mask).sum()), ""),
+    ]
+    width = 22
+    print("-" * (width + 24))
+    for name, a, b in rows:
+        print(f"{name:<{width}} | {a:>8} | {b:>8}")
+    print("-" * (width + 24))
+    print(timer.table())
+
+    T = np.asarray(sol.transform())
+    print(f"valid: {bool(sol.valid)}")
+    print("estimated transform:")
+    print(np.array2string(T, precision=4, suppress_small=True))
+    if gt is not None:
+        print("ground truth:")
+        print(np.array2string(gt, precision=4, suppress_small=True))
+
+    if args.dump_dir:
+        os.makedirs(args.dump_dir, exist_ok=True)
+        from quatro_tpu.io.ply import save_correspondences_ply, save_ply
+        from quatro_tpu.utils.se3 import apply_transform
+        aligned = np.asarray(apply_transform(jnp.asarray(T),
+                                             jnp.asarray(src_xyz)))
+        save_ply(os.path.join(args.dump_dir, "source.ply"), src_xyz,
+                 color=(230, 90, 90))
+        save_ply(os.path.join(args.dump_dir, "target.ply"), tgt_xyz,
+                 color=(90, 230, 90))
+        save_ply(os.path.join(args.dump_dir, "aligned.ply"), aligned,
+                 color=(90, 90, 230))
+        cm = np.asarray(res.correspondences.mask)
+        save_correspondences_ply(
+            os.path.join(args.dump_dir, "correspondences.ply"),
+            np.asarray(res.correspondences.src_xyz),
+            np.asarray(res.correspondences.tgt_xyz), cm)
+        print(f"PLY artifacts written to {args.dump_dir}")
+
+    if args.json:
+        print(json.dumps({
+            "valid": bool(sol.valid), "transform": T.tolist(),
+            "n_correspondences": n_corr,
+            "n_final_inliers": int(np.asarray(sol.final_inlier_mask).sum()),
+        }))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="quatro_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("register", help="register a scan pair")
+    r.add_argument("src", nargs="?", help="source .bin scan")
+    r.add_argument("tgt", nargs="?", help="target .bin scan")
+    r.add_argument("--synthetic", action="store_true",
+                   help="use a synthetic ray-cast scan pair with known GT")
+    r.add_argument("--seed", type=int, default=0)
+    # config/params.yaml equivalents
+    r.add_argument("--lidar-type", default="Velodyne-64-HDE")
+    r.add_argument("--ground-mode", default="Patchwork",
+                   choices=["Patchwork", "LeGO-LOAM"])
+    r.add_argument("--voxel-size", type=float, default=0.3)
+    r.add_argument("--normal-radius", type=float, default=0.5)
+    r.add_argument("--fpfh-radius", type=float, default=0.75)
+    r.add_argument("--noise-bound", type=float, default=0.3)
+    r.add_argument("--gnc-factor", type=float, default=1.4)
+    r.add_argument("--num-max-iter", type=int, default=50)
+    r.add_argument("--rot-cost-diff-thr", type=float, default=0.00011)
+    r.add_argument("--reg-type", default="Quatro",
+                   choices=["Quatro", "TEASER"])
+    r.add_argument("--max-raw-points", type=int, default=131072)
+    r.add_argument("--max-voxels", type=int, default=8192)
+    r.add_argument("--max-correspondences", type=int, default=1024)
+    r.add_argument("--dump-dir", default=None,
+                   help="write source/target/aligned/correspondence PLYs")
+    r.add_argument("--json", action="store_true",
+                   help="also print a machine-readable JSON result line")
+    r.set_defaults(fn=cmd_register)
+
+    args = p.parse_args(argv)
+    if args.cmd == "register" and not args.synthetic \
+            and (not args.src or not args.tgt):
+        p.error("register needs SRC TGT scans or --synthetic")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""ctypes bindings for the native host-side data path.
+
+Builds lazily with the system compiler on first import (cached as a .so in
+this directory); all callers fall back to numpy implementations when the
+toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "quatro_native.c")
+_SO = os.path.join(_DIR, "libquatro_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+                 _SRC, "-o", _SO],
+                check=True, capture_output=True, timeout=120)
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                   < os.path.getmtime(_SRC)):
+        if not _build():
+            raise OSError("no working C compiler for quatro_native")
+    lib = ctypes.CDLL(_SO)
+    lib.quatro_load_kitti_bin.restype = ctypes.c_long
+    lib.quatro_load_kitti_bin.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+    lib.quatro_pack_batch.restype = ctypes.c_int
+    lib.quatro_pack_batch.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def load_kitti_bin(path: str) -> np.ndarray:
+    """mmap-backed KITTI .bin load -> (N, 4) float32 (x, y, z, intensity)."""
+    lib = _load()
+    n = lib.quatro_load_kitti_bin(path.encode(), None, 0)
+    if n < 0:
+        raise IOError(f"failed to load {path}")
+    out = np.empty((n, 4), np.float32)
+    got = lib.quatro_load_kitti_bin(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
+    if got < 0:
+        raise IOError(f"failed to read {path}")
+    return out[:got]
+
+
+def pack_batch(clouds, capacity: int, n_threads: int = 0):
+    """Pack a list of (n_i, 3|4) float32 arrays into padded
+    (B, capacity, 3) points + (B, capacity) bool mask, in parallel."""
+    if n_threads <= 0:
+        n_threads = min(len(clouds), os.cpu_count() or 1)
+    lib = _load()
+    b = len(clouds)
+    clouds = [np.ascontiguousarray(c, np.float32) for c in clouds]
+    stride = clouds[0].shape[1] if clouds else 3
+    assert all(c.shape[1] == stride for c in clouds)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * b)(
+        *[c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for c in clouds])
+    sizes = (ctypes.c_long * b)(*[c.shape[0] for c in clouds])
+    out_points = np.empty((b, capacity, 3), np.float32)
+    out_mask = np.empty((b, capacity), np.uint8)
+    rc = lib.quatro_pack_batch(
+        ptrs, sizes, b, stride, capacity,
+        out_points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n_threads)
+    if rc != 0:
+        raise RuntimeError("quatro_pack_batch failed")
+    return out_points, out_mask.astype(bool)

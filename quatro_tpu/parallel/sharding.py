@@ -1,0 +1,75 @@
+"""Sharded batched registration + the multi-chip 'full step'.
+
+Scan-pair data parallelism over a ('pairs',) mesh: each device runs the
+whole per-pair pipeline locally (zero communication — the pipeline is
+pure and per-pair), then the pose-graph reduction all-reduces its normal
+equations with `psum` over the same axis. This is the TPU replacement for
+the reference's OpenMP-threads-in-one-process model (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from quatro_tpu.config import PipelineConfig, SolverConfig
+from quatro_tpu.parallel.mesh import PAIRS_AXIS
+from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
+                                           optimize_pose_graph)
+from quatro_tpu.solver.quatro import register_correspondences
+
+
+def sharded_register_batch(mesh: Mesh, config: SolverConfig = SolverConfig()):
+    """Returns a jitted function solving a (B, N, 3) correspondence batch
+    sharded over the 'pairs' mesh axis. B must be divisible by mesh size."""
+
+    def local(src, tgt, mask):
+        return jax.vmap(lambda s, t, m: register_correspondences(
+            s, t, m, config))(src, tgt, mask)
+
+    spec = P(PAIRS_AXIS)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, spec),
+                   out_specs=spec, check_vma=False)
+    return jax.jit(fn)
+
+
+def make_loop_closing_step(mesh: Mesh, num_poses: int,
+                           config: SolverConfig = SolverConfig(),
+                           gn_iters: int = 6, cg_iters: int = 24):
+    """The full multi-chip 'step': batched pair registration (sharded over
+    'pairs') followed by the pose-graph solve whose J^T reductions psum over
+    the same axis (BASELINE.json configs 2 & 5).
+
+    Returned fn signature:
+        (src (B,N,3), tgt (B,N,3), mask (B,N), edge_i (B,), edge_j (B,),
+         poses0 (M,4)) -> (poses (M,4), solutions)
+    with B = edges divisible by mesh size; edge (i, j) means the pair
+    registers scan i onto scan j.
+    """
+
+    def local(src, tgt, mask, edge_i, edge_j, poses0):
+        sols = jax.vmap(lambda s, t, m: register_correspondences(
+            s, t, m, config))(src, tgt, mask)
+        yaw = jnp.arctan2(sols.rotation[:, 1, 0], sols.rotation[:, 0, 0])
+        weight = jnp.sum(sols.final_inlier_mask, axis=-1).astype(jnp.float32)
+        edges = PoseGraphEdges(
+            i=edge_i, j=edge_j,
+            t_meas=sols.translation, yaw_meas=yaw,
+            weight=jnp.maximum(weight, 1.0),
+            mask=sols.valid)
+        poses = optimize_pose_graph(poses0, edges, num_poses,
+                                    gn_iters=gn_iters, cg_iters=cg_iters,
+                                    psum_axis=PAIRS_AXIS)
+        return poses, sols
+
+    spec = P(PAIRS_AXIS)
+    rep = P()
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, spec, spec, spec, rep),
+                   out_specs=(rep, spec), check_vma=False)
+    return jax.jit(fn)

@@ -1,0 +1,64 @@
+"""IO tests: KITTI .bin roundtrip (numpy + native paths), batch packing,
+PLY export, odometry feature cache."""
+
+import os
+
+import numpy as np
+import pytest
+
+from quatro_tpu.io.kitti import load_kitti_bin, save_kitti_bin
+from quatro_tpu.io.ply import save_correspondences_ply, save_ply
+
+
+def test_kitti_roundtrip(tmp_path, rng):
+    xyz = rng.normal(size=(1000, 3)).astype(np.float32)
+    inten = rng.random(1000).astype(np.float32)
+    path = str(tmp_path / "scan.bin")
+    save_kitti_bin(path, xyz, inten)
+    back = load_kitti_bin(path)
+    np.testing.assert_allclose(back, xyz, atol=0)
+    back4 = load_kitti_bin(path, with_intensity=True)
+    np.testing.assert_allclose(back4[:, 3], inten, atol=0)
+
+
+def test_native_loader_matches_numpy(tmp_path, rng):
+    native = pytest.importorskip("quatro_tpu.native")
+    try:
+        native._load()
+    except OSError:
+        pytest.skip("no C toolchain")
+    xyz = rng.normal(size=(4321, 3)).astype(np.float32)
+    path = str(tmp_path / "scan.bin")
+    save_kitti_bin(path, xyz)
+    got = native.load_kitti_bin(path)
+    assert got.shape == (4321, 4)
+    np.testing.assert_allclose(got[:, :3], xyz, atol=0)
+
+
+def test_native_pack_batch(rng):
+    native = pytest.importorskip("quatro_tpu.native")
+    try:
+        native._load()
+    except OSError:
+        pytest.skip("no C toolchain")
+    clouds = [rng.normal(size=(n, 4)).astype(np.float32)
+              for n in (10, 300, 0, 150)]
+    pts, mask = native.pack_batch(clouds, capacity=200)
+    assert pts.shape == (4, 200, 3) and mask.shape == (4, 200)
+    assert mask.sum(1).tolist() == [10, 200, 0, 150]
+    np.testing.assert_allclose(pts[0, :10], clouds[0][:10, :3])
+    np.testing.assert_allclose(pts[1, :200], clouds[1][:200, :3])
+    assert (pts[0, 10:] == 0).all()
+
+
+def test_ply_export(tmp_path, rng):
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    p1 = str(tmp_path / "cloud.ply")
+    save_ply(p1, xyz, color=(255, 0, 0))
+    data = open(p1, "rb").read()
+    assert b"element vertex 50" in data
+    p2 = str(tmp_path / "corr.ply")
+    save_correspondences_ply(p2, xyz, xyz + 1.0,
+                             mask=np.arange(50) % 2 == 0)
+    data = open(p2, "rb").read()
+    assert b"element vertex 50" in data and b"element edge 25" in data

@@ -1,0 +1,144 @@
+"""Sharding + pose-graph tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quatro_tpu.config import SolverConfig
+from quatro_tpu.io.synthetic import make_correspondences
+from quatro_tpu.parallel import (PoseGraphEdges, make_loop_closing_step,
+                                 make_pairs_mesh, optimize_pose_graph,
+                                 sharded_register_batch, wrap_angle)
+from quatro_tpu.solver import register_correspondences
+
+
+def test_mesh_has_8_devices():
+    mesh = make_pairs_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_register_matches_single():
+    mesh = make_pairs_mesh()
+    b = 8
+    pairs = [make_correspondences(seed=s, n_inliers=50, n_outliers=150)
+             for s in range(b)]
+    src = jnp.stack([jnp.asarray(p[0]) for p in pairs])
+    tgt = jnp.stack([jnp.asarray(p[1]) for p in pairs])
+    mask = jnp.ones(src.shape[:2], bool)
+
+    fn = sharded_register_batch(mesh)
+    sols = fn(src, tgt, mask)
+    for i in (0, 3, 7):
+        single = register_correspondences(src[i], tgt[i], mask[i])
+        np.testing.assert_allclose(np.asarray(sols.rotation[i]),
+                                   np.asarray(single.rotation), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sols.translation[i]),
+                                   np.asarray(single.translation), atol=1e-3)
+
+
+def _make_loop_fixture(num_poses=9, seed=0, noise=0.01, drift=0.15):
+    """Ground-truth planar trajectory + odometry edges (with drift noise)
+    + one exact-ish loop closure back to pose 0."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((num_poses, 4))
+    for k in range(1, num_poses):
+        gt[k, 3] = gt[k - 1, 3] + 2 * np.pi / num_poses
+        step = np.array([2.0, 0.3, 0.02])
+        c, s = np.cos(gt[k - 1, 3]), np.sin(gt[k - 1, 3])
+        gt[k, :3] = gt[k - 1, :3] + np.array(
+            [c * step[0] - s * step[1], s * step[0] + c * step[1], step[2]])
+
+    ei, ej, t_meas, yaw_meas = [], [], [], []
+
+    def add_edge(i, j, sigma):
+        c, s = np.cos(gt[i, 3]), np.sin(gt[i, 3])
+        dt = gt[j, :3] - gt[i, :3]
+        local = np.array([c * dt[0] + s * dt[1], -s * dt[0] + c * dt[1],
+                          dt[2]])
+        ei.append(i); ej.append(j)
+        t_meas.append(local + rng.normal(0, sigma, 3))
+        yaw_meas.append(gt[j, 3] - gt[i, 3] + rng.normal(0, sigma))
+
+    for k in range(num_poses - 1):
+        add_edge(k, k + 1, noise)
+    add_edge(num_poses - 1, 0, noise)  # loop closure
+
+    edges = PoseGraphEdges(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        t_meas=jnp.asarray(np.array(t_meas), jnp.float32),
+        yaw_meas=jnp.asarray(np.array(yaw_meas), jnp.float32),
+        weight=jnp.ones(len(ei), jnp.float32),
+        mask=jnp.ones(len(ei), bool))
+
+    # drifted initial guess (integrate noisy odometry)
+    init = gt + np.concatenate(
+        [np.zeros((1, 4)), rng.normal(0, drift, (num_poses - 1, 4))])
+    init[0] = gt[0]
+    return gt, init.astype(np.float32), edges
+
+
+def test_pose_graph_closes_loop():
+    gt, init, edges = _make_loop_fixture()
+    out = optimize_pose_graph(jnp.asarray(init), edges, gt.shape[0],
+                              gn_iters=10, cg_iters=40)
+    out = np.asarray(out)
+    err_t = np.linalg.norm(out[:, :3] - gt[:, :3], axis=1)
+    err_y = np.abs(np.asarray(wrap_angle(jnp.asarray(out[:, 3] - gt[:, 3]))))
+    init_err = np.linalg.norm(init[:, :3] - gt[:, :3], axis=1)
+    assert err_t.max() < 0.1, f"translation errors {err_t}"
+    assert err_y.max() < 0.05, f"yaw errors {err_y}"
+    assert err_t.mean() < 0.5 * max(init_err.mean(), 1e-6)
+
+
+def test_pose_graph_anchor_fixes_gauge():
+    gt, init, edges = _make_loop_fixture(seed=3)
+    out = np.asarray(optimize_pose_graph(jnp.asarray(init), edges,
+                                         gt.shape[0]))
+    np.testing.assert_allclose(out[0], gt[0], atol=1e-3)
+
+
+def test_loop_closing_step_end_to_end():
+    """8 scan-pair registrations sharded over 8 devices feed a pose graph."""
+    mesh = make_pairs_mesh()
+    num_poses = 8
+    rng = np.random.default_rng(7)
+
+    # trajectory of 8 poses in a loop; edge k: k -> (k+1) % 8
+    gt = np.zeros((num_poses, 4), np.float32)
+    for k in range(1, num_poses):
+        gt[k, 3] = gt[k - 1, 3] + np.deg2rad(20.0)
+        gt[k, :2] = gt[k - 1, :2] + [1.5, 0.5]
+
+    src_l, tgt_l = [], []
+    ei, ej = [], []
+    for k in range(num_poses):
+        j = (k + 1) % num_poses
+        c, s = np.cos(gt[k, 3]), np.sin(gt[k, 3])
+        dt = gt[j, :3] - gt[k, :3]
+        local_t = np.array([c * dt[0] + s * dt[1], -s * dt[0] + c * dt[1],
+                            dt[2]])
+        dyaw = gt[j, 3] - gt[k, 3]
+        # build correspondences whose registration IS (dyaw, local_t):
+        # tgt = R(dyaw) src + local_t  maps scan j's frame onto scan k's?
+        s_pts, t_pts, _, _ = make_correspondences(
+            seed=100 + k, n_inliers=50, n_outliers=100,
+            yaw_deg=np.rad2deg(dyaw), translation=tuple(local_t))
+        src_l.append(s_pts); tgt_l.append(t_pts)
+        # the registration solves tgt = R(yaw_j - yaw_k) src + R(-yaw_k)(t_j
+        # - t_k), which is exactly the edge (i=k, j) measurement convention
+        ei.append(k); ej.append(j)
+
+    src = jnp.asarray(np.stack(src_l))
+    tgt = jnp.asarray(np.stack(tgt_l))
+    mask = jnp.ones(src.shape[:2], bool)
+
+    step = make_loop_closing_step(mesh, num_poses)
+    init = gt + rng.normal(0, 0.1, gt.shape).astype(np.float32)
+    init[0] = gt[0]
+    poses, sols = step(src, tgt, mask, jnp.asarray(ei, jnp.int32),
+                       jnp.asarray(ej, jnp.int32), jnp.asarray(init))
+    poses = np.asarray(poses)
+    assert np.asarray(sols.valid).all()
+    err = np.linalg.norm(poses[:, :3] - gt[:, :3], axis=1)
+    assert err.max() < 0.25, f"pose errors {err}"
