@@ -36,7 +36,8 @@ def main():
     for s in range(n_pairs):
         a, b, _ = make_scan_pair(seed=s, yaw_deg=10.0 + 7 * s,
                                  translation=(2.0 + 0.3 * s, 1.0 - 0.2 * s,
-                                              0.05))
+                                              0.05),
+                                 cache_dir="/root/repo/.scan_cache")
         pairs.append((PointBatch.from_numpy(a, 131072),
                       PointBatch.from_numpy(b, 131072)))
 

@@ -25,6 +25,16 @@ import numpy as np
 def _build_config(args):
     from quatro_tpu.config import (FPFHConfig, LidarConfig, PipelineConfig,
                                    SolverConfig)
+    if getattr(args, "params_yaml", None) or getattr(args, "patchwork_yaml",
+                                                     None):
+        from quatro_tpu.config_io import load_params_yaml
+        import dataclasses
+        cfg = load_params_yaml(args.params_yaml, args.patchwork_yaml)
+        return dataclasses.replace(
+            cfg, max_raw_points=args.max_raw_points,
+            max_voxels=args.max_voxels,
+            fpfh=dataclasses.replace(
+                cfg.fpfh, max_correspondences=args.max_correspondences))
     return PipelineConfig(
         lidar=LidarConfig.preset(args.lidar_type),
         ground_segmentation_mode=args.ground_mode,
@@ -40,9 +50,20 @@ def _build_config(args):
                             rotation_cost_threshold=args.rot_cost_diff_thr))
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/quatro_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def cmd_register(args) -> int:
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from quatro_tpu.pipeline import register_scan_pair
     from quatro_tpu.types import PointBatch
     from quatro_tpu.utils.profiling import StageTimer
@@ -140,6 +161,10 @@ def main(argv=None) -> int:
                    help="use a synthetic ray-cast scan pair with known GT")
     r.add_argument("--seed", type=int, default=0)
     # config/params.yaml equivalents
+    r.add_argument("--params-yaml", default=None,
+                   help="reference-format params.yaml (overrides flags)")
+    r.add_argument("--patchwork-yaml", default=None,
+                   help="reference-format patchwork_params.yaml")
     r.add_argument("--lidar-type", default="Velodyne-64-HDE")
     r.add_argument("--ground-mode", default="Patchwork",
                    choices=["Patchwork", "LeGO-LOAM"])
@@ -161,11 +186,33 @@ def main(argv=None) -> int:
                    help="also print a machine-readable JSON result line")
     r.set_defaults(fn=cmd_register)
 
+    e = sub.add_parser("evaluate",
+                       help="loop-closure success-rate sweep (synthetic GT)")
+    e.add_argument("--n-pairs", type=int, default=50)
+    e.add_argument("--lidar-type", default="Velodyne-64-HDE")
+    e.add_argument("--max-voxels", type=int, default=8192)
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--cache-dir", default="/root/repo/.scan_cache",
+                   help="disk cache for generated scan pairs")
+    e.set_defaults(fn=cmd_evaluate)
+
     args = p.parse_args(argv)
     if args.cmd == "register" and not args.synthetic \
             and (not args.src or not args.tgt):
         p.error("register needs SRC TGT scans or --synthetic")
     return args.fn(args)
+
+
+def cmd_evaluate(args) -> int:
+    _enable_compile_cache()
+    from quatro_tpu.config import LidarConfig, PipelineConfig
+    from quatro_tpu.eval import evaluate_loop_closures
+    config = PipelineConfig(lidar=LidarConfig.preset(args.lidar_type),
+                            max_voxels=args.max_voxels)
+    report = evaluate_loop_closures(args.n_pairs, config, seed0=args.seed,
+                                    cache_dir=args.cache_dir)
+    print(json.dumps(report.summary()))
+    return 0
 
 
 if __name__ == "__main__":

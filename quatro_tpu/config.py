@@ -202,6 +202,9 @@ class SolverConfig:
     noise_bound: float = 0.3
     cbar2: float = 1.0
     estimate_scaling: bool = False
+    # "GNC_TLS" (reference default) or "FGR" (Geman-McClure) —
+    # ROTATION_ESTIMATION_ALGORITHM, include/quatro.hpp:172-175.
+    rotation_estimation_algorithm: str = "GNC_TLS"
     rotation_gnc_factor: float = 1.4
     rotation_max_iterations: int = 50
     rotation_cost_threshold: float = 0.00011
@@ -224,6 +227,8 @@ class SolverConfig:
             raise ValueError("[COTE]: Wrong parameter comes!")
         if self.rotation_gnc_factor <= 1.0:
             raise ValueError("rotation_gnc_factor must be > 1")
+        if self.rotation_estimation_algorithm not in ("GNC_TLS", "FGR"):
+            raise ValueError("rotation algorithm must be GNC_TLS or FGR")
         if self.noise_bound == 0.0:
             raise ValueError("noise_bound must be nonzero")
         if self.inlier_selection_mode not in ("clique", "kcore", "none"):

@@ -1,0 +1,176 @@
+"""Evaluation harnesses: loop-closure success rate and scaling efficiency.
+
+The reference publishes qualitative robustness plots only (reference:
+README.md:34-44); the driver's build targets are quantitative (BASELINE.md):
+>=99% registration success on loop-closure pairs, >100 pairs/s/chip,
+>=0.8 scaling efficiency. These harnesses measure all three on procedurally
+generated scan pairs with exact ground truth.
+
+Success criterion (standard loop-closure accounting): rotation error < 5 deg
+AND translation error < 2 m.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from quatro_tpu.config import PipelineConfig
+
+
+@dataclass
+class PairEval:
+    seed: int
+    valid: bool
+    rot_err_deg: float
+    trans_err_m: float
+    n_corr: int
+    success: bool
+
+
+@dataclass
+class EvalReport:
+    pairs: List[PairEval]
+    wall_s: float
+    compile_s: float
+
+    @property
+    def success_rate(self) -> float:
+        return float(np.mean([p.success for p in self.pairs]))
+
+    @property
+    def pairs_per_s(self) -> float:
+        return len(self.pairs) / self.wall_s if self.wall_s > 0 else 0.0
+
+    def summary(self) -> dict:
+        rot = [p.rot_err_deg for p in self.pairs if p.success]
+        tr = [p.trans_err_m for p in self.pairs if p.success]
+        return {
+            "n_pairs": len(self.pairs),
+            "success_rate": round(self.success_rate, 4),
+            "median_rot_err_deg": round(float(np.median(rot)), 4) if rot else None,
+            "median_trans_err_m": round(float(np.median(tr)), 4) if tr else None,
+            "pairs_per_s": round(self.pairs_per_s, 2),
+            "compile_s": round(self.compile_s, 1),
+            "failures": [p.seed for p in self.pairs if not p.success],
+        }
+
+
+def _pose_error(transform: np.ndarray, gt: np.ndarray) -> Tuple[float, float]:
+    r_est, r_gt = transform[:3, :3], gt[:3, :3]
+    # Frobenius-based angle: well conditioned near zero (unlike arccos-trace)
+    rel = r_est.T @ r_gt
+    angle = np.arctan2(
+        np.linalg.norm([rel[2, 1] - rel[1, 2], rel[0, 2] - rel[2, 0],
+                        rel[1, 0] - rel[0, 1]]) / 2.0,
+        (np.trace(rel) - 1.0) / 2.0)
+    trans = np.linalg.norm(transform[:3, 3] - gt[:3, 3])
+    return float(np.degrees(angle)), float(trans)
+
+
+def evaluate_loop_closures(n_pairs: int = 50,
+                           config: Optional[PipelineConfig] = None,
+                           rot_thresh_deg: float = 5.0,
+                           trans_thresh_m: float = 2.0,
+                           yaw_range: Tuple[float, float] = (-180.0, 180.0),
+                           trans_range: float = 5.0,
+                           seed0: int = 0,
+                           raw_capacity: int = 131072,
+                           cache_dir: Optional[str] = None) -> EvalReport:
+    """Register n synthetic loop-closure pairs; report success statistics.
+
+    Pairs sample the full yaw circle (loop closures arrive at arbitrary
+    heading) and up to `trans_range` meters of displacement.
+    """
+    import jax
+    import jax.numpy as jnp
+    from quatro_tpu.io.synthetic import make_scan_pair
+    from quatro_tpu.pipeline import register_scan_pair
+    from quatro_tpu.types import PointBatch
+
+    config = config or PipelineConfig(max_voxels=8192)
+    rng = np.random.default_rng(seed0)
+    fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+
+    cases = []
+    for k in range(n_pairs):
+        yaw = rng.uniform(*yaw_range)
+        t = rng.uniform(-trans_range, trans_range, 3)
+        t[2] = rng.uniform(-0.3, 0.3)
+        cases.append((seed0 + k, yaw, t))
+
+    # compile once
+    s0, t0_, gt0 = make_scan_pair(seed=seed0, yaw_deg=cases[0][1],
+                                  translation=tuple(cases[0][2]),
+                                  lidar=config.lidar, cache_dir=cache_dir)
+    tA = time.time()
+    out = fn(PointBatch.from_numpy(s0, raw_capacity),
+             PointBatch.from_numpy(t0_, raw_capacity))
+    jax.block_until_ready(out.solution.rotation)
+    compile_s = time.time() - tA
+
+    results: List[PairEval] = []
+    t_start = time.time()
+    outs = []
+    for (sd, yaw, tr) in cases:
+        src_xyz, tgt_xyz, gt = make_scan_pair(seed=sd, yaw_deg=yaw,
+                                              translation=tuple(tr),
+                                              lidar=config.lidar,
+                                              cache_dir=cache_dir)
+        out = fn(PointBatch.from_numpy(src_xyz, raw_capacity),
+                 PointBatch.from_numpy(tgt_xyz, raw_capacity))
+        outs.append((sd, gt, out))
+    jax.block_until_ready([o.solution.rotation for _, _, o in outs])
+    wall = time.time() - t_start
+
+    for sd, gt, out in outs:
+        T = np.asarray(out.solution.transform())
+        rot_err, trans_err = _pose_error(T, gt)
+        ok = (bool(out.solution.valid) and rot_err < rot_thresh_deg
+              and trans_err < trans_thresh_m)
+        results.append(PairEval(
+            seed=sd, valid=bool(out.solution.valid),
+            rot_err_deg=rot_err, trans_err_m=trans_err,
+            n_corr=int(np.asarray(out.correspondences.mask).sum()),
+            success=ok))
+    return EvalReport(results, wall, compile_s)
+
+
+def evaluate_scaling(batch_per_device: int = 4,
+                     device_counts: Optional[List[int]] = None,
+                     n_corr: int = 512, iters: int = 10) -> dict:
+    """Weak-scaling efficiency of the sharded correspondence solver across
+    mesh sizes (throughput_n / (n * throughput_1))."""
+    import jax
+    import jax.numpy as jnp
+    from quatro_tpu.io.synthetic import make_correspondences
+    from quatro_tpu.parallel import make_pairs_mesh, sharded_register_batch
+
+    avail = len(jax.devices())
+    device_counts = device_counts or [d for d in (1, 2, 4, 8) if d <= avail]
+    results = {}
+    base = None
+    for nd in device_counts:
+        b = batch_per_device * nd
+        pairs = [make_correspondences(seed=s, n_inliers=max(8, n_corr // 8),
+                                      n_outliers=n_corr - max(8, n_corr // 8))
+                 for s in range(b)]
+        src = jnp.stack([jnp.asarray(p[0]) for p in pairs])
+        tgt = jnp.stack([jnp.asarray(p[1]) for p in pairs])
+        mask = jnp.ones(src.shape[:2], bool)
+        fn = sharded_register_batch(make_pairs_mesh(nd))
+        out = fn(src, tgt, mask)
+        jax.block_until_ready(out.rotation)
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(src, tgt, mask)
+        jax.block_until_ready(out.rotation)
+        thr = b * iters / (time.time() - t0)
+        if base is None:
+            base = thr
+        results[nd] = {"pairs_per_s": round(thr, 1),
+                       "efficiency": round(thr / (base * nd), 3)}
+    return results

@@ -153,6 +153,7 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
                    translation: Tuple[float, float, float] = (3.0, 1.5, 0.05),
                    sensor_height: float = 1.723,
                    lidar: LidarConfig = LidarConfig(),
+                   cache_dir: str | None = None,
                    **scan_kwargs):
     """Two scans of one world from two poses + the ground-truth transform.
 
@@ -163,6 +164,20 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
     Pose A is the *target* frame origin; pose B (displaced by `translation`
     and rotated by `yaw_deg`) produces the *source* scan.
     """
+    cache_path = None
+    if cache_dir is not None:
+        import hashlib
+        import os
+        os.makedirs(cache_dir, exist_ok=True)
+        key = hashlib.sha1(repr((seed, yaw_deg, tuple(translation),
+                                 sensor_height, lidar, sorted(
+                                     scan_kwargs.items()))).encode()
+                           ).hexdigest()[:16]
+        cache_path = os.path.join(cache_dir, f"pair_{key}.npz")
+        if os.path.exists(cache_path):
+            z = np.load(cache_path)
+            return z["src"], z["tgt"], z["gt"]
+
     scene = make_scene(seed)
     yaw = np.deg2rad(yaw_deg)
     t_a = np.array([0.0, 0.0, sensor_height])
@@ -178,7 +193,10 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
     gt = np.eye(4)
     gt[:3, :3] = rot
     gt[:3, 3] = t_b - t_a
-    return src, tgt, gt.astype(np.float32)
+    gt = gt.astype(np.float32)
+    if cache_path is not None:
+        np.savez_compressed(cache_path, src=src, tgt=tgt, gt=gt)
+    return src, tgt, gt
 
 
 def make_correspondences(seed: int = 0, n_inliers: int = 60,

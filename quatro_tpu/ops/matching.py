@@ -48,13 +48,13 @@ def descriptor_distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("capacity", "use_tuple_test",
-                                   "trials_per_corr"))
+                                   "trials_per_corr", "tuple_min_keep"))
 def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
                    src_desc: jnp.ndarray, tgt_desc: jnp.ndarray,
                    src_mask: jnp.ndarray, tgt_mask: jnp.ndarray,
                    capacity: int = 1024, use_tuple_test: bool = True,
                    tuple_scale: float = 0.95, trials_per_corr: int = 100,
-                   seed: int = 0) -> Correspondences:
+                   seed: int = 0, tuple_min_keep: int = 8) -> Correspondences:
     """Full matcher: mutual NN -> tuple test -> compacted correspondences.
 
     Semantics follow Matcher::calculateCorrespondences with
@@ -104,7 +104,14 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         hit = jnp.zeros((na,), bool)
         flat = rand.reshape(-1)
         hit = hit.at[flat].max(jnp.repeat(ok, 3))
-        keep = cand_pos & hit
+        tuple_keep = cand_pos & hit
+        # Robustness addition over the reference: when the tuple test
+        # collapses (low-overlap pairs leave too few consistent triples,
+        # where the reference proceeds with ~0 correspondences and aborts,
+        # quatro.hpp:809-813), fall back to the mutual-NN candidates — the
+        # solver's own clique stage is a stronger filter than no data.
+        keep = jnp.where(jnp.sum(tuple_keep) >= tuple_min_keep,
+                         tuple_keep, cand_pos)
 
     # Final compaction into the fixed capacity.
     korder = jnp.argsort(jnp.where(keep, iota, na + iota))

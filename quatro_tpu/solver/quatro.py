@@ -92,13 +92,15 @@ def register_correspondences(
         gnc = rot_mod.gnc_rotation_2d(
             pruned_src_tims[:, :2], pruned_dst_tims[:, :2], chain_mask,
             rot_noise_bound, config.rotation_gnc_factor,
-            config.rotation_max_iterations, config.rotation_cost_threshold)
+            config.rotation_max_iterations, config.rotation_cost_threshold,
+            algorithm=config.rotation_estimation_algorithm)
         rotation = jnp.eye(3, dtype=dtype).at[:2, :2].set(gnc.rotation)
     else:  # full SO(3) (TEASER mode)
         gnc = rot_mod.gnc_rotation_3d(
             pruned_src_tims, pruned_dst_tims, chain_mask,
             rot_noise_bound, config.rotation_gnc_factor,
-            config.rotation_max_iterations, config.rotation_cost_threshold)
+            config.rotation_max_iterations, config.rotation_cost_threshold,
+            algorithm=config.rotation_estimation_algorithm)
         rotation = gnc.rotation
     rotation = rotation @ prior_ryrx
 

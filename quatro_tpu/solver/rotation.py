@@ -130,14 +130,59 @@ def _gnc_tls(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
     return rot_param, weights, inliers, i, cost
 
 
+def _fgr_gm(src, dst, mask, noise_bound, gnc_factor, max_iterations,
+            cost_threshold, solve_rotation, apply_rotation):
+    """Graduated Geman-McClure (the reference's FGR algorithm option,
+    include/quatro.hpp:172-175,225-243): weights
+    w_i = (mu e^2 / (r_i^2 + mu e^2))^2 with mu DIVIDED by gnc_factor per
+    iteration (annealing from convex toward GM), stopping on cost
+    convergence once mu has annealed to <= 1."""
+    dtype = src.dtype
+    maskf = mask.astype(dtype)
+    eps_sq = jnp.maximum(jnp.asarray(noise_bound, dtype) ** 2, 1e-16)
+
+    def cond(state):
+        i, rot, weights, mu, prev_cost, cost, done = state
+        return jnp.logical_and(i < max_iterations, jnp.logical_not(done))
+
+    def body(state):
+        i, rot, weights, mu, prev_cost, cost, done = state
+        rot = solve_rotation(src, dst, weights * maskf)
+        diff = dst - apply_rotation(rot, src)
+        res_sq = jnp.sum(diff * diff, axis=-1) * maskf
+        # mu init: start convex enough to cover the worst residual
+        mu = jnp.where(i == 0,
+                       jnp.maximum(jnp.max(res_sq) / eps_sq, 1.0), mu)
+        w = (mu * eps_sq) / (res_sq + mu * eps_sq)
+        new_weights = (w * w) * maskf
+        cost_new = jnp.sum(new_weights * res_sq)
+        cost_diff = jnp.abs(cost_new - prev_cost)
+        done = jnp.logical_and(mu <= 1.0, cost_diff < cost_threshold)
+        mu = jnp.maximum(mu / gnc_factor, 1.0)
+        return i + 1, rot, new_weights, mu, cost_new, cost_new, done
+
+    init_rot = solve_rotation(src, dst, maskf)
+    init = (jnp.asarray(0, jnp.int32), init_rot, maskf,
+            jnp.asarray(1.0, dtype), jnp.asarray(jnp.inf, dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
+    i, rot, weights, mu, prev_cost, cost, done = jax.lax.while_loop(
+        cond, body, init)
+    inliers = jnp.logical_and(weights >= 0.4, mask)
+    return rot, weights, inliers, i, cost
+
+
 def gnc_rotation_2d(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
                     mask: jnp.ndarray, noise_bound: float,
                     gnc_factor: float = 1.4, max_iterations: int = 50,
-                    cost_threshold: float = 0.00011) -> GncResult:
-    """Quasi-SO(3) GNC-TLS: yaw-only rotation on XY projections
-    (reference: Quatro::solveForRotation2D, include/quatro.hpp:430-572)."""
+                    cost_threshold: float = 0.00011,
+                    algorithm: str = "GNC_TLS") -> GncResult:
+    """Quasi-SO(3) GNC: yaw-only rotation on XY projections
+    (reference: Quatro::solveForRotation2D, include/quatro.hpp:430-572).
+    algorithm: "GNC_TLS" (reference default) or "FGR" (the enum's
+    Geman-McClure option)."""
 
-    theta, weights, inliers, iters, cost = _gnc_tls(
+    loop = _gnc_tls if algorithm == "GNC_TLS" else _fgr_gm
+    theta, weights, inliers, iters, cost = loop(
         src_xy, dst_xy, mask, noise_bound, gnc_factor, max_iterations,
         cost_threshold,
         solve_rotation=yaw_procrustes,
@@ -148,11 +193,13 @@ def gnc_rotation_2d(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
 def gnc_rotation_3d(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
                     noise_bound: float, gnc_factor: float = 1.4,
                     max_iterations: int = 50,
-                    cost_threshold: float = 0.00011) -> GncResult:
-    """Full SO(3) GNC-TLS (TEASER mode; the reference reserves the hook via
+                    cost_threshold: float = 0.00011,
+                    algorithm: str = "GNC_TLS") -> GncResult:
+    """Full SO(3) GNC (TEASER mode; the reference reserves the hook via
     reg_name == "TEASER", include/quatro.hpp:394-411)."""
 
-    rot, weights, inliers, iters, cost = _gnc_tls(
+    loop = _gnc_tls if algorithm == "GNC_TLS" else _fgr_gm
+    rot, weights, inliers, iters, cost = loop(
         src, dst, mask, noise_bound, gnc_factor, max_iterations,
         cost_threshold,
         solve_rotation=svd_rot3d,
