@@ -217,6 +217,9 @@ class SolverConfig:
     kcore_heuristic_threshold: float = 0.5
     # Number of parallel greedy-growth seeds for the clique search.
     clique_num_seeds: int = 16
+    # Fused Pallas kernel for the consistency graph (TPU only; requires
+    # max_correspondences % 256 == 0).
+    use_pallas_graph: bool = False
     # Static cap on clique size (bounds the greedy-growth loop).
     max_clique_size: int = 512
 

@@ -73,7 +73,8 @@ def register_correspondences(
 
     # --- consistency graph + inlier selection -------------------------------
     adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
-                                config.cbar2)
+                                config.cbar2,
+                                use_pallas=config.use_pallas_graph)
     clique_mask, valid = clique_mod.select_inliers(
         adj, mask, mode=config.inlier_selection_mode,
         kcore_threshold=config.kcore_heuristic_threshold,

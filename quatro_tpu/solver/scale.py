@@ -41,7 +41,8 @@ def pairwise_distances(points: jnp.ndarray) -> jnp.ndarray:
 
 def tim_consistency_graph(src: jnp.ndarray, tgt: jnp.ndarray,
                           mask: jnp.ndarray, noise_bound: float,
-                          cbar2: float = 1.0) -> jnp.ndarray:
+                          cbar2: float = 1.0,
+                          use_pallas: bool = False) -> jnp.ndarray:
     """Boolean (N, N) adjacency of scale-consistent correspondence pairs.
 
     Equivalent to the reference's scale_inliers_mask_ over TIMs
@@ -50,12 +51,17 @@ def tim_consistency_graph(src: jnp.ndarray, tgt: jnp.ndarray,
 
     src, tgt: (N, 3) matched correspondence points; mask: (N,) validity.
     """
-    beta = 2.0 * noise_bound * jnp.sqrt(jnp.asarray(cbar2, src.dtype))
-    d_src = pairwise_distances(src)
-    d_tgt = pairwise_distances(tgt)
-    consistent = jnp.abs(d_tgt - d_src) <= beta
-    pair_valid = mask[:, None] & mask[None, :]
     n = src.shape[0]
+    if use_pallas and n % 256 == 0:
+        from quatro_tpu.ops.pallas_kernels import consistency_graph_pallas
+        beta_f = 2.0 * float(noise_bound) * float(cbar2) ** 0.5
+        consistent = consistency_graph_pallas(src, tgt, beta_f)
+    else:
+        beta = 2.0 * noise_bound * jnp.sqrt(jnp.asarray(cbar2, src.dtype))
+        d_src = pairwise_distances(src)
+        d_tgt = pairwise_distances(tgt)
+        consistent = jnp.abs(d_tgt - d_src) <= beta
+    pair_valid = mask[:, None] & mask[None, :]
     off_diag = ~jnp.eye(n, dtype=bool)
     return consistent & pair_valid & off_diag
 
