@@ -1,0 +1,195 @@
+"""Trajectory-level registration: odometry + loop closing + ATE.
+
+The reference registers exactly one pair per process; Quatro++'s use case
+(and BASELINE config 5) is trajectory-scale: register consecutive scans for
+odometry, register loop-closure candidate pairs, and solve the pose graph.
+This module is that harness:
+
+    scans -> OdometryRunner (feature reuse) -> odometry edges
+          -> proximity loop-closure candidates -> registration edges
+          -> optimize_pose_graph (GN + CG, psum-able) -> poses + ATE
+
+Convention: registering (src=scan_j, tgt=scan_i) yields the edge
+(i, j) measurement t_ij = R(-yaw_i)(t_j - t_i), yaw_ij = yaw_j - yaw_i.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quatro_tpu.config import PipelineConfig
+from quatro_tpu.odometry import FrameFeatures, OdometryRunner
+from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
+                                           optimize_pose_graph, wrap_angle)
+from quatro_tpu.types import PointBatch
+
+
+@dataclass
+class SequenceResult:
+    poses: np.ndarray            # (M, 4) optimized (x, y, z, yaw)
+    odometry_poses: np.ndarray   # (M, 4) integrated odometry (pre-closure)
+    edges_total: int
+    edges_valid: int
+    ate_before: float
+    ate_after: float
+    wall_s: float
+
+
+def _compose(pose: np.ndarray, t_rel: np.ndarray, yaw_rel: float):
+    """pose_j from pose_i and the edge measurement (see module docstring)."""
+    c, s = np.cos(pose[3]), np.sin(pose[3])
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    out = np.empty(4)
+    out[:3] = pose[:3] + rot @ t_rel
+    out[3] = pose[3] + yaw_rel
+    return out
+
+
+def _ate(poses: np.ndarray, gt: np.ndarray) -> float:
+    return float(np.sqrt(np.mean(np.sum(
+        (poses[:, :3] - gt[:, :3]) ** 2, axis=1))))
+
+
+def run_sequence(scans: Sequence[PointBatch],
+                 config: PipelineConfig = PipelineConfig(),
+                 loop_candidates: Optional[List[Tuple[int, int]]] = None,
+                 gt_poses: Optional[np.ndarray] = None,
+                 loop_radius: float = 10.0, min_gap: int = 3,
+                 min_edge_inliers: int = 5,
+                 gn_iters: int = 10, cg_iters: int = 40) -> SequenceResult:
+    """Register a scan sequence and close its loops.
+
+    loop_candidates: (i, j) index pairs to attempt as closures; if None and
+    gt_poses is given, candidates are taken by pose proximity (stand-in for
+    a place-recognition front end).
+    """
+    t0 = time.time()
+    runner = OdometryRunner(config)
+    feats: List[FrameFeatures] = [runner.extract(s) for s in scans]
+    m = len(scans)
+
+    # --- odometry edges (consecutive) ---------------------------------------
+    ei, ej, t_meas, yaw_meas, weights, emask = [], [], [], [], [], []
+
+    def register(i: int, j: int):
+        """Edge (i, j): register src=scan_j onto tgt=scan_i."""
+        sol = runner.register_pair(feats[j], feats[i])
+        t = np.asarray(sol.translation)
+        rot = np.asarray(sol.rotation)
+        yaw = float(np.arctan2(rot[1, 0], rot[0, 0]))
+        w = float(np.asarray(sol.final_inlier_mask).sum())
+        # Gate edges on consensus support: a tiny final-inlier set signals a
+        # false registration (the reference has no such gate; its single
+        # pair is hand-picked).
+        ok = bool(sol.valid) and w >= min_edge_inliers
+        return ok, t, yaw, max(w, 1.0)
+
+    odo = np.zeros((m, 4))
+    for k in range(m - 1):
+        ok, t, yaw, w = register(k, k + 1)
+        ei.append(k); ej.append(k + 1)
+        t_meas.append(t); yaw_meas.append(yaw)
+        weights.append(w); emask.append(ok)
+        odo[k + 1] = _compose(odo[k], t, yaw) if ok else odo[k]
+
+    # --- loop-closure candidates ---------------------------------------------
+    if loop_candidates is None and gt_poses is not None:
+        loop_candidates = []
+        for i in range(m):
+            for j in range(i + min_gap + 1, m):
+                if np.linalg.norm(gt_poses[i, :3] - gt_poses[j, :3]) \
+                        < loop_radius:
+                    loop_candidates.append((i, j))
+    loop_candidates = loop_candidates or []
+
+    for (i, j) in loop_candidates:
+        ok, t, yaw, w = register(i, j)
+        ei.append(i); ej.append(j)
+        t_meas.append(t); yaw_meas.append(yaw)
+        weights.append(w); emask.append(ok)
+
+    edges = PoseGraphEdges(
+        i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),
+        t_meas=jnp.asarray(np.array(t_meas), jnp.float32),
+        yaw_meas=jnp.asarray(np.array(yaw_meas), jnp.float32),
+        weight=jnp.asarray(np.array(weights), jnp.float32),
+        mask=jnp.asarray(np.array(emask)))
+
+    poses = np.asarray(optimize_pose_graph(
+        jnp.asarray(odo, jnp.float32), edges, m,
+        gn_iters=gn_iters, cg_iters=cg_iters))
+
+    ate_before = _ate(odo, gt_poses) if gt_poses is not None else float("nan")
+    ate_after = _ate(poses, gt_poses) if gt_poses is not None else float("nan")
+    return SequenceResult(
+        poses=poses, odometry_poses=odo,
+        edges_total=len(ei), edges_valid=int(np.sum(emask)),
+        ate_before=ate_before, ate_after=ate_after,
+        wall_s=time.time() - t0)
+
+
+def make_synthetic_sequence(num_poses: int = 10, seed: int = 0,
+                            radius: float = 14.0,
+                            config: PipelineConfig = PipelineConfig(),
+                            cache_dir: Optional[str] = None,
+                            raw_capacity: int = 131072):
+    """Scans along a circular loop in one scene (first/last poses adjacent,
+    giving a natural loop closure). Returns (scans, gt_poses (M,4))."""
+    from quatro_tpu.io.synthetic import make_scene, raycast_scan
+    import hashlib
+    import os
+
+    scene = make_scene(seed, extent=radius * 3)
+    gt = np.zeros((num_poses, 4))
+    for k in range(num_poses):
+        ang = 2 * np.pi * k / num_poses
+        gt[k, :3] = [radius * np.cos(ang) - radius, radius * np.sin(ang),
+                     1.723]
+        gt[k, 3] = wrap_angle(ang + np.pi / 2)
+
+    # Carve a clear corridor along the trajectory: drop boxes whose XY
+    # footprint (padded 2 m) contains any pose — a sensor inside a box
+    # would see garbage.
+    ctr = (scene.box_min + scene.box_max) / 2
+    keep = np.ones(scene.box_min.shape[0], bool)
+    for k in range(num_poses):
+        inside = ((gt[k, 0] > scene.box_min[:, 0] - 2.0)
+                  & (gt[k, 0] < scene.box_max[:, 0] + 2.0)
+                  & (gt[k, 1] > scene.box_min[:, 1] - 2.0)
+                  & (gt[k, 1] < scene.box_max[:, 1] + 2.0))
+        keep &= ~inside
+    scene.box_min = scene.box_min[keep]
+    scene.box_max = scene.box_max[keep]
+
+    scans = []
+    for k in range(num_poses):
+        xyz = None
+        cpath = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            key = hashlib.sha1(repr((seed, num_poses, radius, k,
+                                     config.lidar)).encode()).hexdigest()[:16]
+            cpath = os.path.join(cache_dir, f"seq_{key}.npy")
+            if os.path.exists(cpath):
+                xyz = np.load(cpath)
+        if xyz is None:
+            xyz = raycast_scan(scene, gt[k, :3], gt[k, 3],
+                               lidar=config.lidar, seed=seed * 100 + k)
+            if cpath:
+                np.save(cpath, xyz)
+        scans.append(PointBatch.from_numpy(xyz, raw_capacity))
+
+    # Express ground truth in the pose-0 frame (the graph's gauge anchor):
+    # t_rel = R(-yaw_0)(t_k - t_0), yaw_rel = yaw_k - yaw_0.
+    c, s = np.cos(gt[0, 3]), np.sin(gt[0, 3])
+    rot0t = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1.0]])
+    rel = np.zeros_like(gt)
+    rel[:, :3] = (gt[:, :3] - gt[0, :3]) @ rot0t.T
+    rel[:, 3] = np.asarray(wrap_angle(jnp.asarray(gt[:, 3] - gt[0, 3])))
+    return scans, rel.astype(np.float32)
