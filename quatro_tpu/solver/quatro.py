@@ -69,12 +69,19 @@ def register_correspondences(
     if prior_ryrx is None:
         prior_ryrx = jnp.eye(3, dtype=dtype)
 
-    scale = jnp.asarray(1.0, dtype)  # reference: include/quatro.hpp:361
-
-    # --- consistency graph + inlier selection -------------------------------
-    adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
-                                config.cbar2,
-                                use_pallas=config.use_pallas_graph)
+    # --- scale + consistency graph + inlier selection -----------------------
+    if config.estimate_scaling:
+        # TLS scale extension (the reference's flag is inert; see
+        # solve_scale_tls). The scale-aware consistency adjacency comes
+        # straight from the scale solver's inlier test.
+        from quatro_tpu.solver.scale import solve_scale_tls
+        scale, adj = solve_scale_tls(src, tgt, mask, config.noise_bound,
+                                     config.cbar2)
+    else:
+        scale = jnp.asarray(1.0, dtype)  # reference: include/quatro.hpp:361
+        adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
+                                    config.cbar2,
+                                    use_pallas=config.use_pallas_graph)
     clique_mask, valid = clique_mod.select_inliers(
         adj, mask, mode=config.inlier_selection_mode,
         kcore_threshold=config.kcore_heuristic_threshold,
@@ -88,7 +95,11 @@ def register_correspondences(
     pruned_dst_tims = (tgt[leaf] - tgt[order]) * chainf / scale
 
     # --- GNC-TLS rotation ----------------------------------------------------
-    rot_noise_bound = config.noise_bound * config.rotation_noise_bound_scale
+    # The reference rescales the rotation noise bound by 2/scale
+    # (include/quatro.hpp:846-852); with scale fixed at 1 this is the
+    # rotation_noise_bound_scale quirk.
+    rot_noise_bound = (config.noise_bound * config.rotation_noise_bound_scale
+                       / scale)
     if config.reg_name == "Quatro":
         gnc = rot_mod.gnc_rotation_2d(
             pruned_src_tims[:, :2], pruned_dst_tims[:, :2], chain_mask,

@@ -69,3 +69,41 @@ def tim_consistency_graph(src: jnp.ndarray, tgt: jnp.ndarray,
 def solve_scale(src: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     """The reference's scale solver: identity scale (include/quatro.hpp:361)."""
     return jnp.asarray(1.0, src.dtype)
+
+
+def solve_scale_tls(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
+                    noise_bound: float, cbar2: float = 1.0):
+    """TLS consensus scale over pairwise length ratios.
+
+    Extension beyond the reference (whose ``estimate_scaling`` flag is
+    inert — include/quatro.hpp:361 hardcodes scale 1): the TEASER++-style
+    scale stage. Each correspondence pair (i, j) measures
+    s_ij = d_tgt / d_src with first-order uncertainty
+    alpha_ij = beta / d_src (propagating the +-beta length noise of the
+    scale-inlier test), and the scalar consensus estimate reuses COTE's
+    sorted-endpoint sweep.
+
+    Returns (scale (), inlier adjacency (N, N) bool).
+    """
+    from quatro_tpu.solver.translation import _estimate_axis
+
+    dtype = src.dtype
+    n = src.shape[0]
+    beta = 2.0 * noise_bound * jnp.sqrt(jnp.asarray(cbar2, dtype))
+    d_src = pairwise_distances(src)
+    d_tgt = pairwise_distances(tgt)
+    pair_valid = (mask[:, None] & mask[None, :]
+                  & jnp.triu(jnp.ones((n, n), bool), 1) & (d_src > 1e-6))
+
+    ratios = (d_tgt / jnp.maximum(d_src, 1e-6)).reshape(-1)
+    alphas = (beta / jnp.maximum(d_src, 1e-6)).reshape(-1)
+    flat_valid = pair_valid.reshape(-1)
+    scale, _ = _estimate_axis(jnp.where(flat_valid, ratios, 0.0),
+                              jnp.where(flat_valid, alphas, 1.0),
+                              flat_valid, use_median=False)
+
+    inliers = (jnp.abs(d_tgt / jnp.maximum(d_src, 1e-6) - scale)
+               <= beta / jnp.maximum(d_src, 1e-6))
+    inliers = inliers & mask[:, None] & mask[None, :] \
+        & ~jnp.eye(n, dtype=bool)
+    return scale, inliers

@@ -41,9 +41,17 @@ def apply_transform(transform, points):
 
 
 def rotation_geodesic_error(r1, r2):
-    """Angle in radians between two rotation matrices."""
-    cos = (jnp.trace(r1.T @ r2) - 1.0) / 2.0
-    return jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+    """Angle in radians between two rotation matrices.
+
+    atan2 form: the arccos-of-trace formula is ill-conditioned near zero in
+    f32 (arccos'(1) is infinite); atan2 of the skew part stays accurate.
+    """
+    rel = r1.T @ r2
+    skew = jnp.stack([rel[2, 1] - rel[1, 2], rel[0, 2] - rel[2, 0],
+                      rel[1, 0] - rel[0, 1]])
+    sin = jnp.linalg.norm(skew) / 2.0
+    cos = (jnp.trace(rel) - 1.0) / 2.0
+    return jnp.arctan2(sin, cos)
 
 
 def rotation_from_rpy(roll, pitch, yaw):

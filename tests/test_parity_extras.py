@@ -130,3 +130,58 @@ def test_scan_metadata():
     assert (rngs[rngs > 0] < 100).all()
     diff = float(md.orientation_diff)
     assert np.pi < diff < 3 * np.pi
+
+
+def test_estimate_scaling_recovers_similarity_transform(rng):
+    """TLS scale extension: recovers (s, R, t) for tgt = s*R*src + t + noise
+    with gross outliers (beyond the reference, whose estimate_scaling flag
+    is inert — include/quatro.hpp:361)."""
+    from quatro_tpu.solver import register_correspondences
+    from quatro_tpu.solver.scale import solve_scale_tls
+
+    s_true, yaw = 1.35, np.deg2rad(25.0)
+    c, s_ = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1.0]])
+    t_true = np.array([2.0, -1.0, 0.4])
+    n_in, n_out = 70, 130
+    src = rng.uniform(-20, 20, (n_in + n_out, 3))
+    tgt = s_true * src @ rot.T + t_true + rng.normal(0, 0.02, src.shape)
+    tgt[n_in:] = rng.uniform(-30, 30, (n_out, 3))
+    srcj = jnp.asarray(src, jnp.float32)
+    tgtj = jnp.asarray(tgt, jnp.float32)
+    mask = jnp.ones(n_in + n_out, bool)
+
+    scale, adj = solve_scale_tls(srcj, tgtj, mask, noise_bound=0.1)
+    assert abs(float(scale) - s_true) < 0.02
+    adj_np = np.asarray(adj)
+    # inlier pairs must be mutually consistent under the recovered scale
+    assert adj_np[:n_in, :n_in][~np.eye(n_in, dtype=bool)].mean() > 0.9
+
+    cfg = SolverConfig(estimate_scaling=True, noise_bound=0.1)
+    sol = register_correspondences(srcj, tgtj, mask, cfg)
+    assert bool(sol.valid)
+    assert abs(float(sol.scale) - s_true) < 0.02
+    from quatro_tpu.utils.se3 import rotation_geodesic_error
+    assert float(rotation_geodesic_error(jnp.asarray(rot, jnp.float32),
+                                         sol.rotation)) < 0.01
+    # solution convention: tgt ~= scale * R @ src + t
+    assert float(jnp.linalg.norm(sol.translation
+                                 - jnp.asarray(t_true, jnp.float32))) < 0.15
+
+
+def test_rotation_geodesic_error_small_angle():
+    """atan2 form must resolve sub-milliradian angles in f32 (the arccos
+    form saturates near zero)."""
+    from quatro_tpu.utils.se3 import rotation_geodesic_error
+
+    for ang in (0.0, 1e-4, 5e-3):
+        c, s_ = np.cos(ang), np.sin(ang)
+        r = jnp.asarray(np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1.0]]),
+                        jnp.float32)
+        got = float(rotation_geodesic_error(jnp.eye(3, dtype=jnp.float32), r))
+        assert abs(got - ang) < 3e-5
+    # large angle still exact
+    got = float(rotation_geodesic_error(
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.asarray(np.diag([-1.0, -1.0, 1.0]), jnp.float32)))
+    assert abs(got - np.pi) < 1e-5
