@@ -13,10 +13,11 @@ __version__ = "0.1.0"
 from quatro_tpu.config import (DEFAULT_CONFIG, FPFHConfig, LidarConfig,
                                PatchworkConfig, PipelineConfig,
                                ProjectionConfig, SolverConfig)
+from quatro_tpu.registration import QuatroRegistration
 from quatro_tpu.types import PointBatch, RegistrationSolution
 
 __all__ = [
     "DEFAULT_CONFIG", "FPFHConfig", "LidarConfig", "PatchworkConfig",
-    "PipelineConfig", "ProjectionConfig", "SolverConfig", "PointBatch",
-    "RegistrationSolution", "__version__",
+    "PipelineConfig", "ProjectionConfig", "QuatroRegistration",
+    "SolverConfig", "PointBatch", "RegistrationSolution", "__version__",
 ]

@@ -38,6 +38,7 @@ def _build_config(args):
     return PipelineConfig(
         lidar=LidarConfig.preset(args.lidar_type),
         ground_segmentation_mode=args.ground_mode,
+        use_subclustering=not getattr(args, "no_subclustering", False),
         voxel_size=args.voxel_size,
         max_voxels=args.max_voxels,
         fpfh=FPFHConfig(normal_radius=args.normal_radius,
@@ -53,8 +54,10 @@ def _build_config(args):
 def _enable_compile_cache():
     import jax
     try:
+        # same cache dir as bench.py so the bench/eval/CLI shapes share
+        # compiled executables (axon remote compiles are minutes-slow)
         jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/quatro_tpu_xla"))
+                          "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     except Exception:
         pass
@@ -137,6 +140,19 @@ def cmd_register(args) -> int:
             os.path.join(args.dump_dir, "correspondences.ply"),
             np.asarray(res.correspondences.src_xyz),
             np.asarray(res.correspondences.tgt_xyz), cm)
+        # clique / final-inlier keypoints (the reference's /max_clique_source,
+        # /max_clique_target, /final_inliers topics,
+        # run_global_registration.cpp:57-82)
+        csrc = np.asarray(res.correspondences.src_xyz)
+        ctgt = np.asarray(res.correspondences.tgt_xyz)
+        clq = np.asarray(sol.max_clique_mask) & cm
+        fin = np.asarray(sol.final_inlier_mask) & cm
+        save_ply(os.path.join(args.dump_dir, "max_clique_source.ply"),
+                 csrc[clq], color=(255, 200, 0))
+        save_ply(os.path.join(args.dump_dir, "max_clique_target.ply"),
+                 ctgt[clq], color=(255, 140, 0))
+        save_ply(os.path.join(args.dump_dir, "final_inliers.ply"),
+                 csrc[fin], color=(255, 0, 200))
         print(f"PLY artifacts written to {args.dump_dir}")
 
     if args.json:
@@ -168,6 +184,9 @@ def main(argv=None) -> int:
     r.add_argument("--lidar-type", default="Velodyne-64-HDE")
     r.add_argument("--ground-mode", default="Patchwork",
                    choices=["Patchwork", "LeGO-LOAM"])
+    r.add_argument("--no-subclustering", action="store_true",
+                   help="skip range-image sub-cluster rejection (keeps all "
+                        "non-ground points; more robust on sparse scenes)")
     r.add_argument("--voxel-size", type=float, default=0.3)
     r.add_argument("--normal-radius", type=float, default=0.5)
     r.add_argument("--fpfh-radius", type=float, default=0.75)
