@@ -179,6 +179,27 @@ class FPFHConfig:
             raise ValueError("normal_radius must be <= fpfh_radius "
                              "(reference: fpfh_manager.hpp:99-102)")
 
+    @classmethod
+    def for_lidar(cls, lidar: "LidarConfig", ref_range: float = 15.0,
+                  **overrides) -> "FPFHConfig":
+        """Sensor-appropriate radii, scaled by elevation ring spacing.
+
+        The reference's defaults (0.5 / 0.75, config/params.yaml:23-25) are
+        tuned for a 64-beam HDL-64E whose rings are ~0.11 m apart at 15 m.
+        Sparser sensors (VLP-16: ~0.52 m at 15 m) need proportionally larger
+        radii or normal patches degenerate to single rings — this mirrors
+        the reference's per-sensor YAML tuning guidance
+        (config/params.yaml:17-44) as a formula: the normal radius covers
+        >=~2 ring gaps at `ref_range` meters, floored at the KITTI defaults.
+        """
+        import math
+        ring_gap = ref_range * math.radians(lidar.ang_res_y)
+        scale = max(1.0, 2.0 * ring_gap / 0.5)
+        kwargs = dict(normal_radius=round(0.5 * scale, 3),
+                      fpfh_radius=round(0.75 * scale, 3))
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
 
 @dataclass(frozen=True)
 class SolverConfig:
@@ -248,6 +269,11 @@ class PipelineConfig:
     fpfh: FPFHConfig = FPFHConfig()
     solver: SolverConfig = SolverConfig()
     ground_segmentation_mode: str = "Patchwork"  # "Patchwork" | "LeGO-LOAM"
+    # Range-image sub-cluster rejection is the reference's FPFH speed
+    # booster (README.md:102-104, "not presented in our paper") — it can
+    # starve the matcher on sparse scenes. False keeps every non-ground
+    # point for feature extraction (the TPU FPFH is cheap enough).
+    use_subclustering: bool = True
     voxel_size: float = 0.3
     # Static capacities per stage.
     max_raw_points: int = 131072

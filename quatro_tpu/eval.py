@@ -102,6 +102,21 @@ def evaluate_loop_closures(n_pairs: int = 50,
         t[2] = rng.uniform(-0.3, 0.3)
         cases.append((seed0 + k, yaw, t))
 
+    if cache_dir is not None:
+        # Host-side ray-casting dominates wall-clock (~tens of seconds per
+        # pair); warm the disk cache with a process pool so the solve loop
+        # below only reads npz files.
+        import concurrent.futures as cf
+        import os
+        with cf.ProcessPoolExecutor(max_workers=min(os.cpu_count() or 4,
+                                                    16)) as pool:
+            futs = [pool.submit(make_scan_pair, seed=sd, yaw_deg=yaw,
+                                translation=tuple(tr), lidar=config.lidar,
+                                cache_dir=cache_dir)
+                    for sd, yaw, tr in cases]
+            for f in futs:
+                f.result()
+
     # compile once
     s0, t0_, gt0 = make_scan_pair(seed=seed0, yaw_deg=cases[0][1],
                                   translation=tuple(cases[0][2]),

@@ -25,6 +25,10 @@ import numpy as np
 
 from quatro_tpu.config import LidarConfig
 
+_FIXTURE_VERSION = 4  # v4: clearance by resampling (v3's rim-push built
+                      # courtyard walls around poses; v2/v1 let wide boxes
+                      # swallow poses entirely)
+
 
 @dataclass
 class Scene:
@@ -36,33 +40,50 @@ class Scene:
 
 
 def make_scene(seed: int = 0, num_buildings: int = 24, num_cars: int = 16,
-               num_poles: int = 30, extent: float = 60.0) -> Scene:
+               num_poles: int = 30, extent: float = 60.0,
+               clear_points: Tuple[Tuple[float, float], ...] = ((0.0, 0.0),),
+               clear_radius: float = 2.5) -> Scene:
     """Random urban-ish scene: big boxes (buildings), small boxes (cars),
-    thin tall boxes (poles/trunks)."""
+    thin tall boxes (poles/trunks).
+
+    ``clear_points`` are xy positions (sensor poses) that must stay outside
+    all box VOLUME by ``clear_radius``. The check uses the box's nearest
+    point, not its center: a wide building whose center is far away can
+    still swallow a sensor pose, which yields a scan of the box interior
+    and a zero-overlap pair. Small per-pose discs (rather than one big
+    clear zone) keep near-range structure, which sparse LiDARs (VLP-16)
+    depend on.
+    """
     rng = np.random.default_rng(seed)
     mins, maxs = [], []
+    clear_pts = np.atleast_2d(np.asarray(clear_points, np.float64))
 
-    def add_box(cx, cy, sx, sy, sz, z0=0.0):
-        mins.append([cx - sx / 2, cy - sy / 2, z0])
-        maxs.append([cx + sx / 2, cy + sy / 2, z0 + sz])
+    def violates(cx, cy, sx, sy):
+        dx = np.maximum(np.abs(cx - clear_pts[:, 0]) - sx / 2, 0.0)
+        dy = np.maximum(np.abs(cy - clear_pts[:, 1]) - sy / 2, 0.0)
+        return (np.hypot(dx, dy) < clear_radius).any()
+
+    def add_box(draw_center, sx, sy, sz, z0=0.0):
+        # resample the location until it clears every sensor disc (pushing
+        # violators to the disc rim instead would pile boxes into an
+        # enclosing "courtyard wall" around the pose); drop after 8 tries
+        for _ in range(8):
+            cx, cy = draw_center()
+            if not violates(cx, cy, sx, sy):
+                mins.append([cx - sx / 2, cy - sy / 2, z0])
+                maxs.append([cx + sx / 2, cy + sy / 2, z0 + sz])
+                return
 
     for _ in range(num_buildings):
-        cx, cy = rng.uniform(-extent, extent, 2)
-        if np.hypot(cx, cy) < 8.0:  # keep the sensor area clear
-            cx += np.sign(cx or 1.0) * 10.0
-        add_box(cx, cy, rng.uniform(4, 14), rng.uniform(4, 14),
-                rng.uniform(3, 12))
+        add_box(lambda: rng.uniform(-extent, extent, 2),
+                rng.uniform(4, 14), rng.uniform(4, 14), rng.uniform(3, 12))
     for _ in range(num_cars):
-        cx, cy = rng.uniform(-extent * 0.6, extent * 0.6, 2)
-        if np.hypot(cx, cy) < 4.0:
-            cx += 6.0
-        add_box(cx, cy, rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.0),
+        add_box(lambda: rng.uniform(-extent * 0.6, extent * 0.6, 2),
+                rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.0),
                 rng.uniform(1.4, 1.9))
     for _ in range(num_poles):
-        cx, cy = rng.uniform(-extent * 0.8, extent * 0.8, 2)
-        if np.hypot(cx, cy) < 3.0:
-            cy += 5.0
-        add_box(cx, cy, rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5),
+        add_box(lambda: rng.uniform(-extent * 0.8, extent * 0.8, 2),
+                rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5),
                 rng.uniform(3, 7))
 
     return Scene(box_min=np.array(mins, dtype=np.float64),
@@ -169,7 +190,10 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
         import hashlib
         import os
         os.makedirs(cache_dir, exist_ok=True)
-        key = hashlib.sha1(repr((seed, yaw_deg, tuple(translation),
+        # _FIXTURE_VERSION salts the key: bump whenever scene/raycast
+        # generation changes so stale cached pairs are regenerated.
+        key = hashlib.sha1(repr((_FIXTURE_VERSION, seed, yaw_deg,
+                                 tuple(translation),
                                  sensor_height, lidar, sorted(
                                      scan_kwargs.items()))).encode()
                            ).hexdigest()[:16]
@@ -178,10 +202,11 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
             z = np.load(cache_path)
             return z["src"], z["tgt"], z["gt"]
 
-    scene = make_scene(seed)
     yaw = np.deg2rad(yaw_deg)
     t_a = np.array([0.0, 0.0, sensor_height])
     t_b = t_a + np.asarray(translation, np.float64)
+    scene = make_scene(seed, clear_points=((t_a[0], t_a[1]),
+                                           (t_b[0], t_b[1])))
 
     tgt = raycast_scan(scene, t_a, 0.0, lidar=lidar, seed=seed + 1, **scan_kwargs)
     src = raycast_scan(scene, t_b, yaw, lidar=lidar, seed=seed + 2, **scan_kwargs)

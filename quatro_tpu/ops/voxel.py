@@ -28,8 +28,14 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     """Centroid-per-voxel downsampling.
 
     points: (N, 3); mask: (N,). Returns (out_points (capacity, 3),
-    out_mask (capacity,)). Voxels beyond `capacity` (in voxel-key order)
-    are dropped.
+    out_mask (capacity,)).
+
+    Overflow policy: when more than `capacity` voxels are occupied, the
+    voxels with the MOST points win. Point count is a property of the world
+    geometry (surface area / range), so both scans of a pair keep largely
+    the SAME structure — truncating in voxel-key order instead would keep a
+    per-scan axis-aligned slab (keys are relative to each scan's own min
+    corner), which destroys cross-scan overlap exactly when capacity binds.
     """
     n = points.shape[0]
     dtype = points.dtype
@@ -50,9 +56,18 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     is_new = jnp.concatenate([jnp.ones(1, bool),
                               key_s[1:] != key_s[:-1]]) & valid_s
     rank = jnp.cumsum(is_new) - 1                     # voxel id per point
-    in_cap = valid_s & (rank < capacity) & (rank >= 0)
-    seg = jnp.where(in_cap, rank, capacity)           # overflow -> dump slot
+    rank = jnp.where(valid_s, rank, n - 1)            # park masked points
 
+    # per-voxel point counts at full resolution (<= n distinct voxels)
+    counts_all = jax.ops.segment_sum(valid_s.astype(jnp.int32), rank,
+                                     num_segments=n)
+    # top-`capacity` voxels by count; ties broken toward lower voxel id
+    _, chosen = jax.lax.top_k(counts_all, min(capacity, n))
+    slot_of_voxel = jnp.full((n,), capacity, jnp.int32).at[chosen].set(
+        jnp.arange(chosen.shape[0], dtype=jnp.int32))
+
+    seg = jnp.where(valid_s, slot_of_voxel[rank], capacity)
+    in_cap = seg < capacity
     sums = jax.ops.segment_sum(
         jnp.where(in_cap[:, None], pts_s, 0.0), seg,
         num_segments=capacity + 1)[:capacity]

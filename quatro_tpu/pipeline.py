@@ -95,6 +95,8 @@ def preprocess(points: jnp.ndarray, mask: jnp.ndarray,
     """
     if config.ground_segmentation_mode == "Patchwork":
         pw = estimate_ground(points, mask, config.patchwork)
+        if not config.use_subclustering:
+            return pw.nonground, pw.ground
         proj = segment_cloud(points, pw.nonground, config.lidar,
                              config.projection, ground_mode="Patchwork")
         return proj.valid_segments, pw.ground

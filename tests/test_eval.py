@@ -7,14 +7,26 @@ from quatro_tpu.eval import evaluate_loop_closures, evaluate_scaling
 
 
 def test_loop_closure_eval_small():
-    cfg = PipelineConfig(lidar=LidarConfig.preset("VLP-16"),
-                         max_voxels=2048,
-                         fpfh=FPFHConfig(max_correspondences=256))
+    lidar = LidarConfig.preset("VLP-16")
+    cfg = PipelineConfig(lidar=lidar, max_voxels=2048,
+                         fpfh=FPFHConfig.for_lidar(
+                             lidar, max_correspondences=256))
     report = evaluate_loop_closures(n_pairs=6, config=cfg,
                                     raw_capacity=32768, trans_range=4.0)
     s = report.summary()
     assert s["n_pairs"] == 6
     assert s["success_rate"] >= 5 / 6, s
+
+
+def test_fpfh_for_lidar_scaling():
+    dense = LidarConfig.preset("Velodyne-64-HDE")
+    sparse = LidarConfig.preset("VLP-16")
+    f_dense = FPFHConfig.for_lidar(dense)
+    f_sparse = FPFHConfig.for_lidar(sparse)
+    # 64-beam keeps the reference defaults; 16-beam scales up ~2x
+    assert f_dense.normal_radius == 0.5 and f_dense.fpfh_radius == 0.75
+    assert 0.9 < f_sparse.normal_radius < 1.3
+    assert f_sparse.fpfh_radius > f_sparse.normal_radius
 
 
 def test_scaling_eval_runs():

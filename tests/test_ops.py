@@ -37,6 +37,24 @@ def test_voxel_downsample_respects_mask_and_capacity(rng):
     assert (d.min(axis=1) < 0.9).all()
 
 
+def test_voxel_downsample_overflow_keeps_densest(rng):
+    """Over capacity, the voxels with the most points must win — point
+    count is viewpoint-stable, so both scans of a pair keep the same
+    structure (key-order truncation kept a per-scan spatial slab)."""
+    # 40 dense voxels (20 pts each) + 200 single-point voxels, capacity 64
+    dense_centers = rng.uniform(0, 50, (40, 3)).astype(np.float32)
+    dense = (dense_centers[:, None] +
+             rng.uniform(-0.1, 0.1, (40, 20, 3))).reshape(-1, 3)
+    sparse = rng.uniform(60, 200, (200, 3)).astype(np.float32)
+    pts = np.concatenate([sparse[:100], dense, sparse[100:]]).astype(
+        np.float32)  # interleave so order can't save us
+    out, omask = voxel_downsample(jnp.asarray(pts),
+                                  jnp.ones(len(pts), bool), 0.5, capacity=64)
+    kept = np.asarray(out)[np.asarray(omask)]
+    d = np.linalg.norm(kept[:, None] - dense_centers[None], axis=-1).min(0)
+    assert (d < 0.2).all(), "every dense voxel must survive truncation"
+
+
 def test_radius_neighbors_against_bruteforce(rng):
     n, k, r = 128, 16, 1.0
     pts = rng.uniform(0, 4, (n, 3)).astype(np.float32)

@@ -67,3 +67,25 @@ def test_full_pipeline_with_preprocessing(scan_pair):
                                      - gt[:3, 3]))
     assert rot_err < 0.05, f"rotation error {rot_err} rad"
     assert trans_err < 0.6, f"translation error {trans_err} m"
+
+
+def test_preprocess_subclustering_toggle(scan_pair):
+    """use_subclustering=False must keep the full Patchwork non-ground set
+    (the rejection stage is a speed booster, reference README.md:102-104)."""
+    import jax.numpy as jnp
+    from quatro_tpu.pipeline import preprocess
+    from quatro_tpu.preprocessing.patchwork import estimate_ground
+
+    src_xyz, _, _ = scan_pair
+    pb = PointBatch.from_numpy(src_xyz, capacity=131072)
+    cfg_on = PipelineConfig(max_voxels=8192)
+    cfg_off = replace(cfg_on, use_subclustering=False)
+
+    seg_on, _ = preprocess(pb.points, pb.mask, cfg_on)
+    seg_off, _ = preprocess(pb.points, pb.mask, cfg_off)
+    pw = estimate_ground(pb.points, pb.mask, cfg_on.patchwork)
+
+    np.testing.assert_array_equal(np.asarray(seg_off), np.asarray(pw.nonground))
+    # the rejection stage can only shrink the kept set
+    assert int(jnp.sum(seg_on)) <= int(jnp.sum(seg_off))
+    assert int(jnp.sum(seg_on)) > 0
