@@ -1,0 +1,108 @@
+"""Per-stage wall-clock profile of the full pipeline on the current backend.
+
+Times each jitted stage with block_until_ready on realistic KITTI-scale
+inputs, so optimization effort goes where the time is (the reference's
+equivalent is its chrono stage tables, run_global_registration.cpp:248-251).
+
+Usage: python tools/profile_pipeline.py [n_reps]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quatro_tpu.config import FPFHConfig, PipelineConfig
+from quatro_tpu.io.synthetic import make_scan_pair
+from quatro_tpu.ops.fpfh import compute_fpfh
+from quatro_tpu.ops.matching import match_features
+from quatro_tpu.ops.neighbors import radius_neighbors
+from quatro_tpu.ops.normals import estimate_normals
+from quatro_tpu.ops.voxel import voxel_downsample
+from quatro_tpu.pipeline import preprocess, register_scan_pair
+from quatro_tpu.solver.quatro import register_correspondences
+from quatro_tpu.types import PointBatch
+
+
+def timeit(name, fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps * 1e3
+    print(f"{name:<28s} {dt:8.3f} ms")
+    return out, dt
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    config = PipelineConfig(max_raw_points=131072, max_voxels=8192,
+                            fpfh=FPFHConfig(max_correspondences=1024))
+    a, b, _ = make_scan_pair(seed=0, yaw_deg=25.0, translation=(2.0, 1.0, 0.05),
+                             cache_dir="/root/repo/.scan_cache")
+    src = PointBatch.from_numpy(a, config.max_raw_points)
+    tgt = PointBatch.from_numpy(b, config.max_raw_points)
+    print(f"device: {jax.devices()[0]}  raw pts: {a.shape[0]} / {b.shape[0]}")
+
+    total = 0.0
+
+    pre = jax.jit(lambda p, m: preprocess(p, m, config))
+    (seg, _), dt = timeit("preprocess (patchwork+proj)", pre, src.points,
+                          src.mask, reps=reps)
+    total += 2 * dt
+
+    vox = jax.jit(lambda p, m: voxel_downsample(p, m, config.voxel_size,
+                                                config.max_voxels))
+    (vp, vm), dt = timeit("voxel_downsample", vox, src.points, seg, reps=reps)
+    total += 2 * dt
+
+    nbr_n = jax.jit(lambda p, m: radius_neighbors(
+        p, m, config.fpfh.normal_radius, config.fpfh.max_neighbors_normal))
+    nn, dt = timeit("radius_neighbors (normals)", nbr_n, vp, vm, reps=reps)
+    total += 2 * dt
+
+    nrm = jax.jit(lambda p, n: estimate_normals(p, n))
+    normals, dt = timeit("estimate_normals", nrm, vp, nn, reps=reps)
+    total += 2 * dt
+
+    nbr_f = jax.jit(lambda p, m: radius_neighbors(
+        p, m, config.fpfh.fpfh_radius, config.fpfh.max_neighbors_fpfh))
+    nf, dt = timeit("radius_neighbors (fpfh)", nbr_f, vp, vm, reps=reps)
+    total += 2 * dt
+
+    fp = jax.jit(lambda p, n, nb: compute_fpfh(p, n, nb))
+    desc, dt = timeit("compute_fpfh", fp, vp, normals.normals, nf, reps=reps)
+    total += 2 * dt
+
+    # NB: pass device arrays as ARGUMENTS, never close over them — a closed-
+    # over array becomes an executable constant, and constants are re-staged
+    # to the device on every call under the axon relay (100x skew observed).
+    dmask = vm & normals.valid
+    mt = jax.jit(lambda p, d, m: match_features(
+        p, p, d, d, m, m,
+        capacity=config.fpfh.max_correspondences,
+        use_tuple_test=config.fpfh.use_tuple_test,
+        tuple_scale=config.fpfh.tuple_scale,
+        trials_per_corr=config.fpfh.tuple_trials_per_corr,
+        seed=config.fpfh.tuple_seed))
+    corr, dt = timeit("match_features", mt, vp, desc, dmask, reps=reps)
+    total += dt
+
+    sv = jax.jit(lambda s, t, m: register_correspondences(s, t, m,
+                                                          config.solver))
+    _, dt = timeit("solver (register_corr)", sv, corr.src_xyz, corr.tgt_xyz,
+                   corr.mask, reps=reps)
+    total += dt
+
+    print(f"{'—— sum of stages (x2 clouds)':<28s} {total:8.3f} ms")
+
+    full = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+    timeit("FULL fused pipeline", full, src, tgt, reps=reps)
+
+
+if __name__ == "__main__":
+    main()
