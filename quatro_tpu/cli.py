@@ -215,6 +215,15 @@ def main(argv=None) -> int:
                    help="disk cache for generated scan pairs")
     e.set_defaults(fn=cmd_evaluate)
 
+    s = sub.add_parser("sweep",
+                       help="correspondence-level outlier-robustness sweep")
+    s.add_argument("--rates", type=float, nargs="+",
+                   default=[0.5, 0.8, 0.9, 0.95, 0.99])
+    s.add_argument("--n-trials", type=int, default=64)
+    s.add_argument("--n-corr", type=int, default=512)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_sweep)
+
     args = p.parse_args(argv)
     if args.cmd == "register" and not args.synthetic \
             and (not args.src or not args.tgt):
@@ -231,6 +240,16 @@ def cmd_evaluate(args) -> int:
     report = evaluate_loop_closures(args.n_pairs, config, seed0=args.seed,
                                     cache_dir=args.cache_dir)
     print(json.dumps(report.summary()))
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    _enable_compile_cache()
+    from quatro_tpu.eval import evaluate_outlier_robustness
+    res = evaluate_outlier_robustness(outlier_rates=args.rates,
+                                      n_trials=args.n_trials,
+                                      n_corr=args.n_corr, seed0=args.seed)
+    print(json.dumps(res))
     return 0
 
 

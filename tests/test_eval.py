@@ -34,3 +34,13 @@ def test_scaling_eval_runs():
                            n_corr=128, iters=2)
     assert 1 in res and 2 in res
     assert res[1]["pairs_per_s"] > 0
+
+
+def test_outlier_robustness_sweep_small():
+    from quatro_tpu.eval import evaluate_outlier_robustness
+    res = evaluate_outlier_robustness(outlier_rates=[0.5, 0.9],
+                                      n_trials=6, n_corr=128)
+    assert set(res) == {0.5, 0.9}
+    for rate, stats in res.items():
+        assert stats["n_trials"] == 6
+        assert stats["success_rate"] >= 5 / 6, (rate, stats)
