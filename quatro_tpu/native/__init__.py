@@ -51,6 +51,16 @@ def _load():
         ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+    lib.quatro_loader_create.restype = ctypes.c_void_p
+    lib.quatro_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int]
+    lib.quatro_loader_next.restype = ctypes.c_long
+    lib.quatro_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_ubyte)]
+    lib.quatro_loader_destroy.restype = None
+    lib.quatro_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -91,3 +101,67 @@ def pack_batch(clouds, capacity: int, n_threads: int = 0):
     if rc != 0:
         raise RuntimeError("quatro_pack_batch failed")
     return out_points, out_mask.astype(bool)
+
+
+class ScanLoader:
+    """Async prefetching KITTI scan loader (native pthread ring buffer).
+
+    Worker threads read + pad scans ahead of the consumer so host IO
+    overlaps device compute — the streaming redesign of the reference's
+    synchronous per-frame fread loop (reference:
+    examples/run_global_registration.cpp:377-402). Yields
+    (points (capacity, 3) f32, mask (capacity,) bool) in file order.
+
+    Use as a context manager or iterator:
+
+        with ScanLoader(paths, capacity=131072) as loader:
+            for points, mask in loader:
+                ...
+    """
+
+    def __init__(self, paths, capacity: int, n_workers: int = 4,
+                 queue_depth: int = 8):
+        self._lib = _load()
+        self._paths = [os.fspath(p) for p in paths]
+        self.capacity = int(capacity)
+        arr = (ctypes.c_char_p * len(self._paths))(
+            *[p.encode() for p in self._paths])
+        self._handle = self._lib.quatro_loader_create(
+            arr, len(self._paths), self.capacity, n_workers, queue_depth)
+        if not self._handle:
+            raise RuntimeError("quatro_loader_create failed")
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._handle is None:
+            raise StopIteration
+        points = np.empty((self.capacity, 3), np.float32)
+        mask = np.empty(self.capacity, np.uint8)
+        n = self._lib.quatro_loader_next(
+            self._handle,
+            points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        if n == -2:
+            raise StopIteration
+        if n == -1:
+            raise IOError("scan load failed (bad path or unreadable file)")
+        return points, mask.astype(bool)
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.quatro_loader_destroy(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

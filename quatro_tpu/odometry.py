@@ -107,3 +107,41 @@ def load_frame_features(path: str) -> FrameFeatures:
                          jnp.asarray(z["voxel_mask"]),
                          jnp.asarray(z["descriptors"]),
                          jnp.asarray(z["desc_mask"]))
+
+
+def run_odometry_files(paths, config: PipelineConfig = PipelineConfig(),
+                       capacity: Optional[int] = None,
+                       n_workers: int = 4, queue_depth: int = 8):
+    """Stream a sequence of KITTI .bin scans through the odometry runner.
+
+    Uses the native async prefetch loader (quatro_tpu.native.ScanLoader) so
+    disk IO for frame k+1..k+queue_depth overlaps the device solve for frame
+    k; falls back to synchronous numpy loading without a C toolchain.
+
+    Yields (frame_index, RegistrationSolution | None) per frame.
+    """
+    capacity = capacity or config.max_raw_points
+    runner = OdometryRunner(config)
+
+    def _numpy_stream():
+        from quatro_tpu.io.kitti import load_kitti_bin
+        for p in paths:
+            xyz = load_kitti_bin(p)
+            pb = PointBatch.from_numpy(xyz, capacity)
+            yield np.asarray(pb.points), np.asarray(pb.mask)
+
+    try:
+        from quatro_tpu.native import ScanLoader
+        stream = ScanLoader(paths, capacity=capacity, n_workers=n_workers,
+                            queue_depth=queue_depth)
+    except (OSError, RuntimeError):
+        stream = _numpy_stream()
+
+    try:
+        for i, (pts, mask) in enumerate(stream):
+            sol = runner.step(PointBatch(jnp.asarray(pts), jnp.asarray(mask)))
+            yield i, sol
+    finally:
+        close = getattr(stream, "close", None)
+        if close:
+            close()

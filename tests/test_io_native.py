@@ -62,3 +62,72 @@ def test_ply_export(tmp_path, rng):
                              mask=np.arange(50) % 2 == 0)
     data = open(p2, "rb").read()
     assert b"element vertex 50" in data and b"element edge 25" in data
+
+
+def _native_or_skip():
+    native = pytest.importorskip("quatro_tpu.native")
+    try:
+        native._load()
+    except OSError:
+        pytest.skip("no C toolchain")
+    return native
+
+
+def test_scan_loader_streams_in_order(tmp_path, rng):
+    native = _native_or_skip()
+    n_files, cap = 12, 256
+    paths, refs = [], []
+    for i in range(n_files):
+        n = int(rng.integers(10, 300))  # some exceed capacity -> truncated
+        xyz = rng.normal(size=(n, 3)).astype(np.float32)
+        p = str(tmp_path / f"{i:06d}.bin")
+        save_kitti_bin(p, xyz)
+        paths.append(p)
+        refs.append(xyz)
+
+    # small queue + several workers stresses the ring-slot reuse protocol
+    with native.ScanLoader(paths, capacity=cap, n_workers=4,
+                           queue_depth=3) as loader:
+        got = list(loader)
+    assert len(got) == n_files
+    for (pts, mask), ref in zip(got, refs):
+        n = min(len(ref), cap)
+        assert mask.sum() == n
+        np.testing.assert_allclose(pts[:n], ref[:n], atol=0)
+        assert not mask[n:].any()
+        np.testing.assert_allclose(pts[n:], 0.0, atol=0)
+
+
+def test_scan_loader_bad_file_and_early_close(tmp_path, rng):
+    native = _native_or_skip()
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    good = str(tmp_path / "good.bin")
+    save_kitti_bin(good, xyz)
+    paths = [good, str(tmp_path / "missing.bin"), good]
+    loader = native.ScanLoader(paths, capacity=64, n_workers=2)
+    pts, mask = next(loader)
+    assert mask.sum() == 50
+    with pytest.raises(IOError):
+        next(loader)
+    # recoverable: the sequence continues past the bad file
+    pts, mask = next(loader)
+    assert mask.sum() == 50
+    loader.close()   # idempotent
+    loader.close()
+    with pytest.raises(StopIteration):
+        next(loader)
+
+
+def test_scan_loader_close_while_pending(tmp_path, rng):
+    # destroying with scans still queued must not deadlock or crash
+    native = _native_or_skip()
+    xyz = rng.normal(size=(500, 3)).astype(np.float32)
+    paths = []
+    for i in range(20):
+        p = str(tmp_path / f"{i}.bin")
+        save_kitti_bin(p, xyz)
+        paths.append(p)
+    loader = native.ScanLoader(paths, capacity=512, n_workers=4,
+                               queue_depth=4)
+    next(loader)
+    loader.close()

@@ -22,3 +22,46 @@ def test_sequence_loop_closing_reduces_ate(tmp_path):
     assert res.ate_after < 1.0, f"ATE after closing {res.ate_after}"
     assert res.ate_after <= res.ate_before + 0.05, \
         f"closing made it worse: {res.ate_before} -> {res.ate_after}"
+
+
+@pytest.mark.slow
+def test_run_odometry_files_streams(tmp_path):
+    from quatro_tpu.io.kitti import save_kitti_bin
+    from quatro_tpu.odometry import run_odometry_files
+
+    cfg = PipelineConfig(lidar=LidarConfig.preset("VLP-16"),
+                         max_voxels=2048, max_raw_points=32768,
+                         fpfh=FPFHConfig(max_correspondences=512))
+    # 8 poses -> 45 deg consecutive viewpoint deltas: hard enough to be a
+    # real registration, easy enough that most pairs should lock in.
+    scans, gt = make_synthetic_sequence(num_poses=8, seed=3, radius=6.0,
+                                        config=cfg, raw_capacity=32768,
+                                        cache_dir=str(tmp_path))
+    paths = []
+    for i, sc in enumerate(scans):
+        pts = np.asarray(sc.points)[np.asarray(sc.mask)]
+        p = str(tmp_path / f"{i:06d}.bin")
+        save_kitti_bin(p, pts)
+        paths.append(p)
+
+    sols = dict(run_odometry_files(paths, cfg))
+    assert sols[0] is None
+    assert len(sols) == len(paths)
+
+    good = 0
+    for k in range(1, len(paths)):
+        sol = sols[k]
+        assert sol is not None, f"frame {k} produced no solution"
+        # step() registers prev (source) -> current (target): the solution
+        # maps prev-frame points into the current sensor frame, so its yaw
+        # is yaw_{k-1} - yaw_k.
+        gt_dyaw = gt[k - 1, 3] - gt[k, 3]
+        est_yaw = float(np.arctan2(np.asarray(sol.rotation)[1, 0],
+                                   np.asarray(sol.rotation)[0, 0]))
+        err = np.degrees(abs(np.arctan2(np.sin(est_yaw - gt_dyaw),
+                                        np.cos(est_yaw - gt_dyaw))))
+        if bool(sol.valid) and err < 10.0:
+            good += 1
+    # streaming mechanics must deliver every frame; the registration itself
+    # gets the same 70% bar as the loop-closing test on this geometry
+    assert good >= 0.7 * (len(paths) - 1), f"only {good}/{len(paths)-1} good"
