@@ -124,8 +124,11 @@ class ScanLoader:
         self._lib = _load()
         self._paths = [os.fspath(p) for p in paths]
         self.capacity = int(capacity)
+        if not self._paths:  # empty sequence: a valid, exhausted iterator
+            self._handle = None
+            return
         arr = (ctypes.c_char_p * len(self._paths))(
-            *[p.encode() for p in self._paths])
+            *[os.fsencode(p) for p in self._paths])
         self._handle = self._lib.quatro_loader_create(
             arr, len(self._paths), self.capacity, n_workers, queue_depth)
         if not self._handle:

@@ -55,23 +55,28 @@ typedef struct {
     long begin, end;
 } pack_job_t;
 
+/* Strided xyz copy into a padded (cap, 3) slot + mask; shared by the batch
+ * packer and the streaming loader. n may exceed cap (truncates). */
+static long strip_pad(const float *src, long n, long stride, long cap,
+                      float *dst, uint8_t *msk) {
+    if (n > cap) n = cap;
+    for (long i = 0; i < n; ++i) {
+        dst[i * 3 + 0] = src[i * stride + 0];
+        dst[i * 3 + 1] = src[i * stride + 1];
+        dst[i * 3 + 2] = src[i * stride + 2];
+        msk[i] = 1;
+    }
+    memset(dst + n * 3, 0, (size_t)(cap - n) * 3 * sizeof(float));
+    memset(msk + n, 0, (size_t)(cap - n));
+    return n;
+}
+
 static void *pack_worker(void *arg) {
     pack_job_t *job = (pack_job_t *)arg;
-    for (long b = job->begin; b < job->end; ++b) {
-        const float *src = job->clouds[b];
-        long n = job->sizes[b];
-        if (n > job->cap) n = job->cap;
-        float *dst = job->out_points + b * job->cap * 3;
-        uint8_t *msk = job->out_mask + b * job->cap;
-        for (long i = 0; i < n; ++i) {
-            dst[i * 3 + 0] = src[i * job->stride + 0];
-            dst[i * 3 + 1] = src[i * job->stride + 1];
-            dst[i * 3 + 2] = src[i * job->stride + 2];
-            msk[i] = 1;
-        }
-        memset(dst + n * 3, 0, (size_t)(job->cap - n) * 3 * sizeof(float));
-        memset(msk + n, 0, (size_t)(job->cap - n));
-    }
+    for (long b = job->begin; b < job->end; ++b)
+        strip_pad(job->clouds[b], job->sizes[b], job->stride, job->cap,
+                  job->out_points + b * job->cap * 3,
+                  job->out_mask + b * job->cap);
     return NULL;
 }
 
@@ -83,7 +88,7 @@ static void *pack_worker(void *arg) {
  * (examples/run_global_registration.cpp:377-402) redesigned so host IO
  * overlaps device compute instead of serializing with it. */
 
-enum { SLOT_EMPTY = 0, SLOT_CLAIMED = 1, SLOT_READY = 2 };
+enum { SLOT_EMPTY = 0, SLOT_CLAIMED = 1, SLOT_READY = 2, SLOT_DRAINING = 3 };
 
 typedef struct {
     float *points;   /* (cap, 3) */
@@ -106,34 +111,29 @@ typedef struct quatro_loader {
     pthread_cond_t cv_consumed;  /* a slot became free */
     long next_to_load;           /* next file index a worker should claim */
     long next_to_emit;           /* next file index the consumer wants */
+    int in_next;                 /* consumers currently inside loader_next */
     int shutdown;
 } quatro_loader_t;
 
 static void load_into_slot(quatro_loader_t *ld, loader_slot_t *s,
                            const char *path) {
-    long cap = ld->cap;
-    /* read directly as (n, 4) quads into a scratch map, then strip
-     * intensity while packing into the padded slot */
+    /* mmap the (n, 4) quads, then strip intensity into the padded slot */
     int fd = open(path, O_RDONLY);
     if (fd < 0) { s->n_points = -1; return; }
     struct stat st;
     if (fstat(fd, &st) != 0) { close(fd); s->n_points = -1; return; }
     long n = (long)(st.st_size / (4 * sizeof(float)));
-    if (n > cap) n = cap;
+    if (n == 0) {  /* legitimate empty scan; mmap(0) would be EINVAL */
+        close(fd);
+        s->n_points = strip_pad(NULL, 0, 4, ld->cap, s->points, s->mask);
+        return;
+    }
     const float *map = (const float *)mmap(NULL, st.st_size, PROT_READ,
                                            MAP_PRIVATE, fd, 0);
     if (map == MAP_FAILED) { close(fd); s->n_points = -1; return; }
-    for (long i = 0; i < n; ++i) {
-        s->points[i * 3 + 0] = map[i * 4 + 0];
-        s->points[i * 3 + 1] = map[i * 4 + 1];
-        s->points[i * 3 + 2] = map[i * 4 + 2];
-        s->mask[i] = 1;
-    }
-    memset(s->points + n * 3, 0, (size_t)(cap - n) * 3 * sizeof(float));
-    memset(s->mask + n, 0, (size_t)(cap - n));
+    s->n_points = strip_pad(map, n, 4, ld->cap, s->points, s->mask);
     munmap((void *)map, st.st_size);
     close(fd);
-    s->n_points = n;
 }
 
 static void *loader_worker(void *arg) {
@@ -169,6 +169,8 @@ static void *loader_worker(void *arg) {
     }
 }
 
+void quatro_loader_destroy(quatro_loader_t *ld);
+
 quatro_loader_t *quatro_loader_create(const char *const *paths, long n_files,
                                       long capacity, int n_workers,
                                       int queue_depth) {
@@ -180,25 +182,49 @@ quatro_loader_t *quatro_loader_create(const char *const *paths, long n_files,
 
     quatro_loader_t *ld = calloc(1, sizeof(*ld));
     if (!ld) return NULL;
-    ld->paths = calloc((size_t)n_files, sizeof(char *));
-    for (long i = 0; i < n_files; ++i) ld->paths[i] = strdup(paths[i]);
     ld->n_files = n_files;
     ld->cap = capacity;
     ld->depth = queue_depth;
     ld->n_workers = n_workers;
+    ld->paths = calloc((size_t)n_files, sizeof(char *));
     ld->slots = calloc((size_t)queue_depth, sizeof(loader_slot_t));
+    ld->workers = calloc((size_t)n_workers, sizeof(pthread_t));
+    if (!ld->paths || !ld->slots || !ld->workers) goto fail;
+    for (long i = 0; i < n_files; ++i) {
+        ld->paths[i] = strdup(paths[i]);
+        if (!ld->paths[i]) goto fail;
+    }
     for (int i = 0; i < queue_depth; ++i) {
         ld->slots[i].points = malloc((size_t)capacity * 3 * sizeof(float));
         ld->slots[i].mask = malloc((size_t)capacity);
         ld->slots[i].seq = -1;
+        if (!ld->slots[i].points || !ld->slots[i].mask) goto fail;
     }
     pthread_mutex_init(&ld->mu, NULL);
     pthread_cond_init(&ld->cv_produced, NULL);
     pthread_cond_init(&ld->cv_consumed, NULL);
-    ld->workers = calloc((size_t)n_workers, sizeof(pthread_t));
-    for (int i = 0; i < n_workers; ++i)
-        pthread_create(&ld->workers[i], NULL, loader_worker, ld);
+    for (int i = 0; i < n_workers; ++i) {
+        if (pthread_create(&ld->workers[i], NULL, loader_worker, ld) != 0) {
+            ld->n_workers = i;  /* join only the started ones */
+            quatro_loader_destroy(ld);
+            return NULL;
+        }
+    }
     return ld;
+
+fail:
+    if (ld->slots)
+        for (int i = 0; i < queue_depth; ++i) {
+            free(ld->slots[i].points);
+            free(ld->slots[i].mask);
+        }
+    if (ld->paths)
+        for (long i = 0; i < n_files; ++i) free(ld->paths[i]);
+    free(ld->paths);
+    free(ld->slots);
+    free(ld->workers);
+    free(ld);
+    return NULL;
 }
 
 /* Blocks until scan `next_to_emit` is ready; copies it into out_points
@@ -208,32 +234,51 @@ quatro_loader_t *quatro_loader_create(const char *const *paths, long n_files,
 long quatro_loader_next(quatro_loader_t *ld, float *out_points,
                         uint8_t *out_mask) {
     pthread_mutex_lock(&ld->mu);
-    if (ld->next_to_emit >= ld->n_files) {
+    ld->in_next++;
+    if (ld->next_to_emit >= ld->n_files || ld->shutdown) {
+        ld->in_next--;
+        pthread_cond_broadcast(&ld->cv_consumed);
         pthread_mutex_unlock(&ld->mu);
         return -2;
     }
     long idx = ld->next_to_emit;
     loader_slot_t *s = &ld->slots[idx % ld->depth];
     while (!(s->state == SLOT_READY && s->seq == idx)) {
-        if (ld->shutdown) { pthread_mutex_unlock(&ld->mu); return -2; }
+        if (ld->shutdown) {
+            ld->in_next--;
+            pthread_cond_broadcast(&ld->cv_consumed);
+            pthread_mutex_unlock(&ld->mu);
+            return -2;
+        }
         pthread_cond_wait(&ld->cv_produced, &ld->mu);
     }
     long n = s->n_points;
+    ld->next_to_emit++;
+    s->state = SLOT_DRAINING;  /* copy outside the lock; workers skip it */
+    pthread_mutex_unlock(&ld->mu);
+
     memcpy(out_points, s->points, (size_t)ld->cap * 3 * sizeof(float));
     memcpy(out_mask, s->mask, (size_t)ld->cap);
-    s->state = SLOT_EMPTY;  /* drain: slot reusable */
-    ld->next_to_emit++;
+
+    pthread_mutex_lock(&ld->mu);
+    s->state = SLOT_EMPTY;  /* slot reusable */
+    ld->in_next--;
     pthread_cond_broadcast(&ld->cv_consumed);
     pthread_mutex_unlock(&ld->mu);
     return n;
 }
 
+/* Safe to call while another thread is blocked in quatro_loader_next: that
+ * call is woken, returns -2, and destroy waits for it to leave before
+ * freeing anything. */
 void quatro_loader_destroy(quatro_loader_t *ld) {
     if (!ld) return;
     pthread_mutex_lock(&ld->mu);
     ld->shutdown = 1;
     pthread_cond_broadcast(&ld->cv_consumed);
     pthread_cond_broadcast(&ld->cv_produced);
+    while (ld->in_next > 0)
+        pthread_cond_wait(&ld->cv_consumed, &ld->mu);
     pthread_mutex_unlock(&ld->mu);
     for (int i = 0; i < ld->n_workers; ++i)
         pthread_join(ld->workers[i], NULL);

@@ -131,3 +131,52 @@ def test_scan_loader_close_while_pending(tmp_path, rng):
                                queue_depth=4)
     next(loader)
     loader.close()
+
+
+def test_scan_loader_empty_file_and_empty_list(tmp_path, rng):
+    native = _native_or_skip()
+    # 0-byte scan is a legitimate empty frame, not an error
+    empty = str(tmp_path / "empty.bin")
+    open(empty, "wb").close()
+    xyz = rng.normal(size=(10, 3)).astype(np.float32)
+    good = str(tmp_path / "good.bin")
+    save_kitti_bin(good, xyz)
+    with native.ScanLoader([empty, good], capacity=32) as loader:
+        pts, mask = next(loader)
+        assert mask.sum() == 0
+        pts, mask = next(loader)
+        assert mask.sum() == 10
+    # empty path list: valid exhausted iterator
+    assert list(native.ScanLoader([], capacity=32)) == []
+
+
+def test_scan_loader_destroy_races_blocked_next(tmp_path, rng):
+    # close() from another thread while next() blocks must unblock it
+    # with StopIteration, not crash (use-after-free regression test)
+    import threading
+    import time
+    native = _native_or_skip()
+    fifo = str(tmp_path / "slow.bin")
+    os.mkfifo(fifo)  # open() blocks until a writer appears -> worker stalls
+    loader = native.ScanLoader([fifo], capacity=32, n_workers=1)
+    got = []
+
+    def consume():
+        try:
+            next(loader)
+            got.append("item")
+        except (StopIteration, IOError):
+            got.append("stopped")
+
+    t = threading.Thread(target=consume)
+    t.start()
+    time.sleep(0.3)
+    # unblock by closing: destroy must wait for the consumer, then free
+    closer = threading.Thread(target=loader.close)
+    closer.start()
+    with open(fifo, "wb") as f:  # release the stalled worker's open()
+        f.write(b"")
+    t.join(timeout=10)
+    closer.join(timeout=10)
+    assert not t.is_alive() and not closer.is_alive()
+    assert got == ["stopped"]
