@@ -105,8 +105,9 @@ def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
 
     def cond(state):
         clique, cand, rounds = state
+        # each round adds one vertex to the seed, so max_size - 1 additions
         return jnp.logical_and(jnp.any(jnp.sum(cand, axis=1) > 0),
-                               rounds < max_size)
+                               rounds < max_size - 1)
 
     def body(state):
         clique, cand, rounds = state
@@ -153,7 +154,17 @@ def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
         else:
             deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
             seed_scores = kcore_mask.astype(jnp.float32) * 1e6 + deg
-            sel = greedy_cliques(adj, seed_scores, mask,
-                                 num_seeds=num_seeds, max_size=max_size) & mask
+            clique_sel = greedy_cliques(adj, seed_scores, mask,
+                                        num_seeds=num_seeds,
+                                        max_size=max_size) & mask
+            # k-core shortcut (reference: src/graph.cc:70-82): when the max
+            # core NUMBER reaches kcore_threshold * |V|, the core is already
+            # a near-clique — use it directly and skip the clique result.
+            # threshold=1 -> always clique, 0 -> always k-core, as the
+            # reference documents (include/quatro.hpp:249-259).
+            n_valid = jnp.sum(mask).astype(jnp.float32)
+            use_kcore = max_core.astype(jnp.float32) >= (kcore_threshold
+                                                         * n_valid)
+            sel = jnp.where(use_kcore, kcore_mask & mask, clique_sel)
     valid = jnp.sum(sel) > 1
     return sel, valid

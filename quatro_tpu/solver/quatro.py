@@ -66,6 +66,7 @@ def register_correspondences(
     """
     dtype = src.dtype
     n = src.shape[0]
+    has_prior = prior_ryrx is not None
     if prior_ryrx is None:
         prior_ryrx = jnp.eye(3, dtype=dtype)
 
@@ -93,6 +94,14 @@ def register_correspondences(
     chainf = chain_mask.astype(dtype)[:, None]
     pruned_src_tims = (src[leaf] - src[order]) * chainf
     pruned_dst_tims = (tgt[leaf] - tgt[order]) * chainf / scale
+    if has_prior:
+        # Level the source with the IMU roll/pitch BEFORE the yaw solve, so
+        # the 2D GNC sees tgt_tims ~ Rz @ (RyRx @ src_tims). The reference
+        # solves yaw on the raw (tilted) TIMs and only composes RyRx
+        # afterwards (include/quatro.hpp:828-843,419-426), which degrades
+        # the yaw estimate and collapses its rotation-inlier count on
+        # genuinely tilted platforms; we level first.
+        pruned_src_tims = pruned_src_tims @ prior_ryrx.T
 
     # --- GNC-TLS rotation ----------------------------------------------------
     # The reference rescales the rotation noise bound by 2/scale

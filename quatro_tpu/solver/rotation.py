@@ -82,7 +82,7 @@ def _gnc_tls(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
     noise_bound_sq = jnp.asarray(noise_bound, dtype) ** 2
     noise_bound_sq = jnp.where(noise_bound_sq < 1e-16, 1e-2, noise_bound_sq)
 
-    def residuals_sq(rot_param, weights):
+    def residuals_sq(rot_param):
         diff = dst - apply_rotation(rot_param, src)
         return jnp.sum(diff * diff, axis=-1) * maskf
 
@@ -93,7 +93,7 @@ def _gnc_tls(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
     def body(state):
         i, rot_param, weights, mu, prev_cost, cost, done = state
         rot_param = solve_rotation(src, dst, weights * maskf)
-        res_sq = residuals_sq(rot_param, weights)
+        res_sq = residuals_sq(rot_param)
 
         # Iteration-0 mu initialization (reference quatro.hpp:493-504).
         max_res = jnp.max(res_sq)
@@ -110,9 +110,10 @@ def _gnc_tls(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
                                 jnp.where(res_sq <= th2, 1.0, w_mid)) * maskf
 
         # On the degenerate (noise-free) break, keep the pre-update weights
-        # exactly as the reference's `break` before the weight loop does.
+        # exactly as the reference's `break` before the weight loop does —
+        # but still report the actual cost, not the init-value inf.
         weights = jnp.where(degenerate, weights, new_weights)
-        cost = jnp.where(degenerate, cost, cost_new)
+        cost = cost_new
         cost_diff = jnp.abs(cost_new - prev_cost)
         converged = cost_diff < cost_threshold
         done = jnp.logical_or(degenerate, converged)
@@ -142,11 +143,11 @@ def _fgr_gm(src, dst, mask, noise_bound, gnc_factor, max_iterations,
     eps_sq = jnp.maximum(jnp.asarray(noise_bound, dtype) ** 2, 1e-16)
 
     def cond(state):
-        i, rot, weights, mu, prev_cost, cost, done = state
+        i, rot, weights, mu, cost, done = state
         return jnp.logical_and(i < max_iterations, jnp.logical_not(done))
 
     def body(state):
-        i, rot, weights, mu, prev_cost, cost, done = state
+        i, rot, weights, mu, prev_cost, done = state
         rot = solve_rotation(src, dst, weights * maskf)
         diff = dst - apply_rotation(rot, src)
         res_sq = jnp.sum(diff * diff, axis=-1) * maskf
@@ -159,14 +160,13 @@ def _fgr_gm(src, dst, mask, noise_bound, gnc_factor, max_iterations,
         cost_diff = jnp.abs(cost_new - prev_cost)
         done = jnp.logical_and(mu <= 1.0, cost_diff < cost_threshold)
         mu = jnp.maximum(mu / gnc_factor, 1.0)
-        return i + 1, rot, new_weights, mu, cost_new, cost_new, done
+        return i + 1, rot, new_weights, mu, cost_new, done
 
     init_rot = solve_rotation(src, dst, maskf)
     init = (jnp.asarray(0, jnp.int32), init_rot, maskf,
             jnp.asarray(1.0, dtype), jnp.asarray(jnp.inf, dtype),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
-    i, rot, weights, mu, prev_cost, cost, done = jax.lax.while_loop(
-        cond, body, init)
+            jnp.asarray(False))
+    i, rot, weights, mu, cost, done = jax.lax.while_loop(cond, body, init)
     inliers = jnp.logical_and(weights >= 0.4, mask)
     return rot, weights, inliers, i, cost
 

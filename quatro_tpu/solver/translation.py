@@ -75,7 +75,11 @@ def _estimate_axis(x: jnp.ndarray, ranges: jnp.ndarray, mask: jnp.ndarray,
     if use_median:
         # Reference median mode (quatro.hpp:714-730): gather X of the last
         # n_card events at/below min_idx (raw event order, signs ignored),
-        # sort ascending, average elements [n/2-1] and [n/2].
+        # sort ascending, average elements [n/2-1] and [n/2]. NB: the
+        # reference applies this even-parity formula for ODD n_card too
+        # (quatro.hpp:727-729 has no parity branch), skewing odd-cardinality
+        # "medians" toward the lower middle element — reproduced here
+        # deliberately for numerical parity with upstream.
         n_card = card[min_idx].astype(jnp.int32)
         j = jnp.arange(n)
         pos = jnp.clip(min_idx - j, 0, 2 * n - 1)

@@ -143,3 +143,62 @@ def test_batched_solve_matches_single():
         np.testing.assert_allclose(np.asarray(batch.translation[i]),
                                    np.asarray(single.translation), atol=1e-3)
         assert bool(batch.valid[i])
+
+
+def test_prior_ryrx_large_tilt_levels_source():
+    """With a strong roll/pitch prior, the yaw GNC must see LEVELED source
+    TIMs: rotation recovery stays tight and the rotation-inlier count does
+    not collapse (regression: solving yaw on tilted TIMs gave ~2.3 deg
+    error and 8/128 inliers at 10 deg roll)."""
+    from quatro_tpu.utils.se3 import rotation_from_rpy
+    roll, pitch = 0.3, 0.2  # ~17 deg / ~11 deg
+    ryrx = np.asarray(rotation_from_rpy(roll, pitch, 0.0))
+    src, tgt, gt, _ = make_correspondences(seed=11, roll_pitch=(roll, pitch),
+                                           yaw_deg=40.0, n_inliers=80,
+                                           n_outliers=120, noise_std=0.01)
+    sol = register_correspondences(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(src.shape[0], bool),
+        SolverConfig(), prior_ryrx=jnp.asarray(ryrx, jnp.float32))
+    _check(sol, gt, rot_tol=0.01, trans_tol=0.1)
+    assert int(sol.num_rotation_inliers) >= 40, \
+        f"rotation inliers collapsed: {int(sol.num_rotation_inliers)}"
+
+
+def test_gnc_cost_finite_on_noise_free_break():
+    """The degenerate (noise-free) iteration-0 break must report the real
+    cost, not the inf init value (regression)."""
+    sol, gt, _ = _run(seed=4, noise=0.0)
+    _check(sol, gt)
+    assert np.isfinite(float(sol.gnc_cost)), f"gnc_cost={float(sol.gnc_cost)}"
+
+
+def test_clique_max_size_is_a_hard_cap():
+    from quatro_tpu.solver import clique as clique_mod
+    n = 8
+    adj = jnp.asarray(np.ones((n, n), bool) & ~np.eye(n, dtype=bool))
+    sel = clique_mod.greedy_cliques(adj, jnp.ones(n), jnp.ones(n, bool),
+                                    num_seeds=2, max_size=3)
+    assert int(jnp.sum(sel)) == 3, f"clique size {int(jnp.sum(sel))} > cap 3"
+
+
+def test_kcore_heuristic_threshold_switches_paths():
+    """threshold=0 -> always use the k-core directly; threshold=1 -> always
+    the greedy clique (reference: src/graph.cc:70-82, quatro.hpp:249-259)."""
+    from quatro_tpu.solver import clique as clique_mod
+    from quatro_tpu.solver.scale import tim_consistency_graph
+    src, tgt, gt, _ = make_correspondences(seed=5, n_inliers=40,
+                                           n_outliers=80)
+    adj = tim_consistency_graph(jnp.asarray(src), jnp.asarray(tgt),
+                                jnp.ones(src.shape[0], bool), 0.3, 1.0)
+    mask = jnp.ones(src.shape[0], bool)
+    sel_kcore, _ = clique_mod.select_inliers(adj, mask, mode="kcore")
+    sel_t0, _ = clique_mod.select_inliers(adj, mask, mode="clique",
+                                          kcore_threshold=0.0)
+    sel_t1, _ = clique_mod.select_inliers(adj, mask, mode="clique",
+                                          kcore_threshold=1.0)
+    np.testing.assert_array_equal(np.asarray(sel_t0), np.asarray(sel_kcore))
+    # threshold=1: genuine clique growth — must be a subset of the k-core
+    # here and strictly tighter than "everything"
+    assert int(jnp.sum(sel_t1)) <= int(jnp.sum(sel_kcore))
+    # both paths keep enough inliers for a valid solve
+    assert int(jnp.sum(sel_t1)) > 1
