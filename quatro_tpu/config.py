@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import math
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclass(frozen=True)
@@ -238,9 +238,10 @@ class SolverConfig:
     kcore_heuristic_threshold: float = 0.5
     # Number of parallel greedy-growth seeds for the clique search.
     clique_num_seeds: int = 16
-    # Fused Pallas kernel for the consistency graph (TPU only; requires
-    # max_correspondences % 256 == 0).
-    use_pallas_graph: bool = False
+    # Fused Pallas kernel for the consistency graph (requires
+    # max_correspondences % 256 == 0). None = auto: on for TPU backends,
+    # off elsewhere (interpret mode would be slower than XLA on CPU).
+    use_pallas_graph: Optional[bool] = None
     # Static cap on clique size (bounds the greedy-growth loop).
     max_clique_size: int = 512
 

@@ -64,9 +64,14 @@ def _bin_index(f, lo, hi):
 
 
 def compute_spfh(points: jnp.ndarray, normals: jnp.ndarray,
-                 nbrs: NeighborLists) -> jnp.ndarray:
+                 nbrs: NeighborLists,
+                 normal_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Per-point SPFH histograms (N, 33); each 11-block sums to 100 over
-    valid neighbor pairs (PCL's hist_incr = 100/num_pairs)."""
+    valid neighbor pairs (PCL's hist_incr = 100/num_pairs).
+
+    normal_valid (N,): pairs involving a point whose normal estimation
+    failed are excluded — PCL emits NaN descriptors there and filters them;
+    a zeroed normal would otherwise bin garbage angles as real counts."""
     dtype = points.dtype
     nb_pts = points[nbrs.idx]        # (N, K, 3)
     nb_nrm = normals[nbrs.idx]
@@ -74,7 +79,10 @@ def compute_spfh(points: jnp.ndarray, normals: jnp.ndarray,
     n1 = normals[:, None, :]
 
     f1, f2, f3, ok = pair_features(p1, n1, nb_pts, nb_nrm)
-    pair_ok = (ok & nbrs.valid & (nbrs.dist2 > 1e-12)).astype(dtype)  # skip self
+    pair_ok = ok & nbrs.valid & (nbrs.dist2 > 1e-12)  # skip self
+    if normal_valid is not None:
+        pair_ok &= normal_valid[:, None] & normal_valid[nbrs.idx]
+    pair_ok = pair_ok.astype(dtype)
 
     b1 = jax.nn.one_hot(_bin_index(f1, -jnp.pi, jnp.pi), NUM_BINS, dtype=dtype)
     b2 = jax.nn.one_hot(_bin_index(f2, -1.0, 1.0), NUM_BINS, dtype=dtype)
@@ -89,14 +97,20 @@ def compute_spfh(points: jnp.ndarray, normals: jnp.ndarray,
 
 
 def compute_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
-                 nbrs: NeighborLists) -> jnp.ndarray:
+                 nbrs: NeighborLists,
+                 normal_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """FPFH descriptors (N, 33): inverse-squared-distance weighted SPFH sum
-    over neighbors, each 11-bin block normalized to 100."""
+    over neighbors, each 11-bin block normalized to 100.
+
+    normal_valid (N,): neighbors with failed normals contribute neither
+    angle pairs nor their (garbage) SPFH rows to the weighted sum."""
     dtype = points.dtype
-    spfh = compute_spfh(points, normals, nbrs)          # (N, 33)
-    nb_spfh = spfh[nbrs.idx]                            # (N, K, 33)
-    w = jnp.where(nbrs.valid & (nbrs.dist2 > 1e-12),
-                  1.0 / jnp.maximum(nbrs.dist2, 1e-12), 0.0)  # (N, K)
+    spfh = compute_spfh(points, normals, nbrs, normal_valid)  # (N, 33)
+    nb_spfh = spfh[nbrs.idx]                                  # (N, K, 33)
+    w_ok = nbrs.valid & (nbrs.dist2 > 1e-12)
+    if normal_valid is not None:
+        w_ok &= normal_valid[nbrs.idx]
+    w = jnp.where(w_ok, 1.0 / jnp.maximum(nbrs.dist2, 1e-12), 0.0)  # (N, K)
     fpfh = jnp.einsum("nk,nkd->nd", w.astype(dtype), nb_spfh)
 
     out = []

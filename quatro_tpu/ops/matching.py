@@ -37,13 +37,10 @@ class Correspondences(NamedTuple):
 def descriptor_distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                          mask_a: jnp.ndarray, mask_b: jnp.ndarray):
     """(Na, Nb) squared L2 distances between descriptor sets, masked +inf."""
+    from quatro_tpu.ops.neighbors import pairwise_sq_dists
     dtype = desc_a.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    sq_a = jnp.sum(desc_a * desc_a, axis=-1)
-    sq_b = jnp.sum(desc_b * desc_b, axis=-1)
-    gram = jax.lax.dot_general(desc_a, desc_b, (((1,), (1,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST)
-    d2 = jnp.maximum(sq_a[:, None] + sq_b[None, :] - 2.0 * gram, 0.0)
+    d2 = pairwise_sq_dists(desc_a, desc_b)
     return jnp.where(mask_a[:, None] & mask_b[None, :], d2, big)
 
 
@@ -62,15 +59,20 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
     as invoked by the manager (reference: fpfh_manager.hpp:126-127).
     """
     na = src_desc.shape[0]
+    iota = jnp.arange(na)
+
+    def compact(flag):
+        """Indices with flag=True first (ascending), False after."""
+        return jnp.argsort(jnp.where(flag, iota, na + iota))
+
     d2 = descriptor_distances(src_desc, tgt_desc, src_mask, tgt_mask)
 
     nn_ab = jnp.argmin(d2, axis=1)                 # (Na,)
     nn_ba = jnp.argmin(d2, axis=0)                 # (Nb,)
-    mutual = (nn_ba[nn_ab] == jnp.arange(na)) & src_mask & tgt_mask[nn_ab]
+    mutual = (nn_ba[nn_ab] == iota) & src_mask & tgt_mask[nn_ab]
 
     # Compact candidate pairs to the front.
-    iota = jnp.arange(na)
-    order = jnp.argsort(jnp.where(mutual, iota, na + iota))
+    order = compact(mutual)
     ncorr = jnp.sum(mutual).astype(jnp.int32)
     cand_pos = iota < ncorr
     cand_src = order
@@ -81,7 +83,11 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         # reference: feature_matcher.cc:187-247 — ncorr*100 random triples,
         # all three length-ratio gates must pass; passing triples mark
         # their three pairs as kept (dedup via the keep mask).
-        trials = trials_per_corr * na  # static upper bound
+        # Static trial budget: the reference runs ncorr*100 dynamically;
+        # bounding the candidate count at 2*capacity instead of the full
+        # voxel capacity keeps the per-pair hit statistics (~300 triples
+        # per pair) whenever ncorr fits, at ~4x less wasted work.
+        trials = trials_per_corr * min(na, 2 * capacity)
         key = jax.random.PRNGKey(seed)
         rand = jax.random.randint(key, (trials, 3), 0,
                                   jnp.maximum(ncorr, 1))
@@ -114,7 +120,7 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
                          tuple_keep, cand_pos)
 
     # Final compaction into the fixed capacity.
-    korder = jnp.argsort(jnp.where(keep, iota, na + iota))
+    korder = compact(keep)
     kcount = jnp.sum(keep).astype(jnp.int32)
     sel = korder[:capacity] if na >= capacity else jnp.pad(
         korder, (0, capacity - na))

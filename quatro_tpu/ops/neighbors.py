@@ -27,6 +27,23 @@ class NeighborLists(NamedTuple):
     dist2: jax.Array  # (N, K) f32 squared distances
 
 
+def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray,
+                      sq_a: jnp.ndarray | None = None,
+                      sq_b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(Na, Nb) squared L2 distances via the Gram identity, clamped at 0.
+
+    The cancellation-prone |a|^2 + |b|^2 - 2<a,b> form is computed with
+    HIGHEST matmul precision; shared by neighbor search and descriptor
+    matching so the numerics live in exactly one place."""
+    if sq_a is None:
+        sq_a = jnp.sum(a * a, axis=-1)
+    if sq_b is None:
+        sq_b = jnp.sum(b * b, axis=-1)
+    gram = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+    return jnp.maximum(sq_a[:, None] + sq_b[None, :] - 2.0 * gram, 0.0)
+
+
 @partial(jax.jit, static_argnames=("k", "tile"))
 def radius_neighbors(points: jnp.ndarray, mask: jnp.ndarray, radius: float,
                      k: int, tile: int = 512) -> NeighborLists:
@@ -42,20 +59,17 @@ def radius_neighbors(points: jnp.ndarray, mask: jnp.ndarray, radius: float,
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     sq = jnp.sum(points * points, axis=-1)
-    maskf = mask
 
     def one_tile(start):
         q = jax.lax.dynamic_slice_in_dim(points, start, tile)
         qsq = jax.lax.dynamic_slice_in_dim(sq, start, tile)
-        qmask = jax.lax.dynamic_slice_in_dim(maskf, start, tile)
-        gram = jax.lax.dot_general(q, points, (((1,), (1,)), ((), ())),
-                                   precision=jax.lax.Precision.HIGHEST)
-        d2 = qsq[:, None] + sq[None, :] - 2.0 * gram
-        d2 = jnp.maximum(d2, 0.0)
+        qmask = jax.lax.dynamic_slice_in_dim(mask, start, tile)
+        d2 = pairwise_sq_dists(q, points, sq_a=qsq, sq_b=sq)
+        # masked columns get +inf, so they can never pass the radius test
         d2 = jnp.where(mask[None, :], d2, big)
         neg, idx = jax.lax.top_k(-d2, k)
         d2k = -neg
-        valid = (d2k <= r2) & qmask[:, None] & mask[idx]
+        valid = (d2k <= r2) & qmask[:, None]
         return idx.astype(jnp.int32), valid, d2k
 
     starts = jnp.arange(0, n, tile)

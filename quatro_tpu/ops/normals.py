@@ -91,4 +91,7 @@ def estimate_normals(points: jnp.ndarray, nbrs: NeighborLists,
 
     valid = jnp.sum(nbrs.valid, axis=1) >= 3
     normal = jnp.where(valid[:, None], normal, 0.0)
+    # Zero-covariance slots otherwise yield lam_min ~ -1e-15 over the 1e-30
+    # trace floor = astronomical garbage curvature.
+    curvature = jnp.where(valid, curvature, 0.0)
     return Normals(normal, curvature, valid)

@@ -4,10 +4,10 @@ The reference wraps ``pcl::VoxelGrid`` (reference: include/quatro.hpp:49-68,
 invoked at examples/run_global_registration.cpp:206-207), which computes the
 centroid of the points in each occupied leaf.
 
-TPU-native design: no hash map — integer voxel coordinates pack into one
-int32 key, a single sort groups points by voxel, and segment-sums produce
-centroids. Static output capacity + mask replaces the dynamically sized
-filtered cloud.
+TPU-native design: no hash map — integer voxel coordinates pack into a
+two-word (hi, lo) key, one lexicographic sort groups points by voxel, and
+segment-sums produce centroids. Static output capacity + mask replaces the
+dynamically sized filtered cloud.
 """
 
 from __future__ import annotations
@@ -17,9 +17,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Cells per axis for the packed voxel key (3 x 10 bits < int32). At the
-# default 0.3 m leaf this spans 307 m per axis — beyond any LiDAR return.
-_GRID = 1024
+# Cells per axis. 15 bits per axis split across two int32 key words
+# (hi = x, lo = y * _GRID + z < 2^30), so no axis ever clips into a
+# neighbor: at a 0.3 m leaf this spans 9.8 km, at 0.01 m still 327 m.
+_GRID = 1 << 15
 
 
 @partial(jax.jit, static_argnames=("capacity",))
@@ -29,6 +30,10 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
 
     points: (N, 3); mask: (N,). Returns (out_points (capacity, 3),
     out_mask (capacity,)).
+
+    Points beyond _GRID cells from the min corner (pathological: >9.8 km
+    extent at the default 0.3 m leaf) are dropped rather than wrapped or
+    merged into boundary voxels.
 
     Overflow policy: when more than `capacity` voxels are occupied, the
     voxels with the MOST points win. Point count is a property of the world
@@ -43,18 +48,24 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
 
     minb = jnp.min(jnp.where(mask[:, None], points,
                              jnp.asarray(jnp.inf, dtype)), axis=0)
-    coords = jnp.clip(jnp.floor((points - minb) * inv).astype(jnp.int32),
-                      0, _GRID - 1)
-    key = (coords[:, 0] * _GRID + coords[:, 1]) * _GRID + coords[:, 2]
-    key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)  # masked sort last
+    coords_f = jnp.floor((points - minb) * inv)
+    coords_f = jnp.where(mask[:, None], coords_f, 0.0)  # no inf-inf NaNs
+    in_grid = mask & jnp.all((coords_f >= 0) & (coords_f < _GRID), axis=1)
+    coords = coords_f.astype(jnp.int32)
 
-    order = jnp.argsort(key)
-    key_s = key[order]
+    big = jnp.iinfo(jnp.int32).max
+    key_hi = jnp.where(in_grid, coords[:, 0], big)       # masked sort last
+    key_lo = jnp.where(in_grid, coords[:, 1] * _GRID + coords[:, 2], big)
+
+    order = jnp.lexsort((key_lo, key_hi))                # primary: key_hi
+    hi_s = key_hi[order]
+    lo_s = key_lo[order]
     pts_s = points[order]
-    valid_s = mask[order]
+    valid_s = in_grid[order]
 
-    is_new = jnp.concatenate([jnp.ones(1, bool),
-                              key_s[1:] != key_s[:-1]]) & valid_s
+    is_new = jnp.concatenate(
+        [jnp.ones(1, bool),
+         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]) & valid_s
     rank = jnp.cumsum(is_new) - 1                     # voxel id per point
     rank = jnp.where(valid_s, rank, n - 1)            # park masked points
 

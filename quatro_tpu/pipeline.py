@@ -52,7 +52,8 @@ def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
     normals = estimate_normals(vox_pts, nbrs_n)
     nbrs_f = radius_neighbors(vox_pts, vox_mask, config.fpfh.fpfh_radius,
                               config.fpfh.max_neighbors_fpfh)
-    desc = compute_fpfh(vox_pts, normals.normals, nbrs_f)
+    desc = compute_fpfh(vox_pts, normals.normals, nbrs_f,
+                        normal_valid=normals.valid)
     desc_mask = vox_mask & normals.valid
     return PointBatch(vox_pts, vox_mask), desc, desc_mask
 

@@ -42,7 +42,7 @@ def pairwise_distances(points: jnp.ndarray) -> jnp.ndarray:
 def tim_consistency_graph(src: jnp.ndarray, tgt: jnp.ndarray,
                           mask: jnp.ndarray, noise_bound: float,
                           cbar2: float = 1.0,
-                          use_pallas: bool = False) -> jnp.ndarray:
+                          use_pallas=None) -> jnp.ndarray:
     """Boolean (N, N) adjacency of scale-consistent correspondence pairs.
 
     Equivalent to the reference's scale_inliers_mask_ over TIMs
@@ -52,6 +52,9 @@ def tim_consistency_graph(src: jnp.ndarray, tgt: jnp.ndarray,
     src, tgt: (N, 3) matched correspondence points; mask: (N,) validity.
     """
     n = src.shape[0]
+    if use_pallas is None:  # auto: fused kernel on TPU when tiles align
+        from quatro_tpu.ops.pallas_kernels import use_pallas_default
+        use_pallas = use_pallas_default()
     if use_pallas and n % 256 == 0:
         from quatro_tpu.ops.pallas_kernels import consistency_graph_pallas
         beta_f = 2.0 * float(noise_bound) * float(cbar2) ** 0.5
