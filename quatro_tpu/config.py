@@ -236,8 +236,12 @@ class SolverConfig:
     # filter only (KCORE_HEU analog); "none" = all scale-inliers pass.
     inlier_selection_mode: str = "clique"
     kcore_heuristic_threshold: float = 0.5
-    # Number of parallel greedy-growth seeds for the clique search.
-    clique_num_seeds: int = 16
+    # Number of parallel greedy-growth seeds for the clique search. All
+    # seeds grow in lock-step ((S,N)@(N,N) MXU matmuls), so large S is nearly
+    # free; 128 is what it takes to find a planted 5-clique whose vertex
+    # degrees sit below the spurious-outlier degree tail at 99% outliers
+    # (measured: 16 seeds -> 10/64 failures there, 128 -> 0/64).
+    clique_num_seeds: int = 128
     # Fused Pallas kernel for the consistency graph (requires
     # max_correspondences % 256 == 0). None = auto: on for TPU backends,
     # off elsewhere (interpret mode would be slower than XLA on CPU).
@@ -261,6 +265,43 @@ class SolverConfig:
 
 
 @dataclass(frozen=True)
+class IcpConfig:
+    """Point-to-plane ICP refinement of the coarse global pose.
+
+    Extension beyond the reference: its README positions Quatro as the
+    coarse initial alignment (reference: README.md:26-44); users then
+    polish with PCL ICP off-line. This keeps the fine stage on-device
+    (see solver/icp.py). Disabled by default for exact reference parity.
+    """
+
+    enabled: bool = False
+    iterations: int = 12
+    max_correspondence_distance: float = 1.0
+    # Gate schedule: hold max_correspondence_distance for the first
+    # `hold_iterations` (basin capture — coarse poses can start ~1 m off,
+    # e.g. vertically ambiguous wall-feature matches), then anneal
+    # geometrically down to final_correspondence_distance (precision —
+    # rejects cross-surface matches that bias the point-to-plane optimum).
+    # Measured on the sparse VLP-16 fixture with a 1.2 m coarse z error:
+    # anneal-from-iter-0 leaves 1.1 m of it; hold-8-anneal-4 ends at 5 mm.
+    hold_iterations: int = 8
+    final_correspondence_distance: float = 0.3
+    # Fixed-size source subsample: bounds the (K, V) distance matmul.
+    max_source_points: int = 2048
+    huber_delta: float = 0.3
+    damping: float = 1e-6
+    min_correspondences: int = 24
+    # Restrict the update to yaw + translation (quasi-SO(3) contract).
+    yaw_only: bool = False
+
+    def __post_init__(self):
+        if self.iterations < 1:
+            raise ValueError("icp iterations must be >= 1")
+        if self.max_correspondence_distance <= 0:
+            raise ValueError("icp max_correspondence_distance must be > 0")
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     """End-to-end pipeline configuration with all static capacities."""
 
@@ -269,6 +310,7 @@ class PipelineConfig:
     projection: ProjectionConfig = ProjectionConfig()
     fpfh: FPFHConfig = FPFHConfig()
     solver: SolverConfig = SolverConfig()
+    icp: IcpConfig = IcpConfig()
     ground_segmentation_mode: str = "Patchwork"  # "Patchwork" | "LeGO-LOAM"
     # Range-image sub-cluster rejection is the reference's FPFH speed
     # booster (README.md:102-104, "not presented in our paper") — it can
