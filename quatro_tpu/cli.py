@@ -23,8 +23,10 @@ import numpy as np
 
 
 def _build_config(args):
-    from quatro_tpu.config import (FPFHConfig, LidarConfig, PipelineConfig,
-                                   SolverConfig)
+    from quatro_tpu.config import (FPFHConfig, IcpConfig, LidarConfig,
+                                   PipelineConfig, SolverConfig)
+    icp = IcpConfig(enabled=getattr(args, "refine", False),
+                    yaw_only=getattr(args, "refine_yaw_only", False))
     if getattr(args, "params_yaml", None) or getattr(args, "patchwork_yaml",
                                                      None):
         from quatro_tpu.config_io import load_params_yaml
@@ -32,10 +34,11 @@ def _build_config(args):
         cfg = load_params_yaml(args.params_yaml, args.patchwork_yaml)
         return dataclasses.replace(
             cfg, max_raw_points=args.max_raw_points,
-            max_voxels=args.max_voxels,
+            max_voxels=args.max_voxels, icp=icp,
             fpfh=dataclasses.replace(
                 cfg.fpfh, max_correspondences=args.max_correspondences))
     return PipelineConfig(
+        icp=icp,
         lidar=LidarConfig.preset(args.lidar_type),
         ground_segmentation_mode=args.ground_mode,
         use_subclustering=not getattr(args, "no_subclustering", False),
@@ -117,6 +120,10 @@ def cmd_register(args) -> int:
 
     T = np.asarray(sol.transform())
     print(f"valid: {bool(sol.valid)}")
+    if res.icp is not None:
+        print(f"icp refinement: converged={bool(res.icp.converged)} "
+              f"rmse={float(res.icp.rmse):.4f} "
+              f"inliers={int(res.icp.num_inliers)}")
     print("estimated transform:")
     print(np.array2string(T, precision=4, suppress_small=True))
     if gt is not None:
@@ -199,6 +206,11 @@ def main(argv=None) -> int:
     r.add_argument("--max-raw-points", type=int, default=131072)
     r.add_argument("--max-voxels", type=int, default=8192)
     r.add_argument("--max-correspondences", type=int, default=1024)
+    r.add_argument("--refine", action="store_true",
+                   help="polish the coarse pose with on-device "
+                        "point-to-plane ICP (extension beyond the reference)")
+    r.add_argument("--refine-yaw-only", action="store_true",
+                   help="restrict ICP updates to yaw + translation")
     r.add_argument("--dump-dir", default=None,
                    help="write source/target/aligned/correspondence PLYs")
     r.add_argument("--json", action="store_true",

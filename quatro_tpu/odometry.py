@@ -50,7 +50,7 @@ class OdometryRunner:
 
     def _extract_impl(self, points, mask):
         seg, _ = preprocess(points, mask, self.config)
-        vox, desc, dmask = extract_features(points, seg, self.config)
+        vox, desc, dmask, _ = extract_features(points, seg, self.config)
         return vox.points, vox.mask, desc, dmask
 
     def _register_impl(self, src: FrameFeatures, tgt: FrameFeatures):

@@ -26,6 +26,7 @@ from quatro_tpu.ops.normals import estimate_normals
 from quatro_tpu.ops.voxel import voxel_downsample
 from quatro_tpu.preprocessing.patchwork import estimate_ground
 from quatro_tpu.preprocessing.projection import segment_cloud
+from quatro_tpu.solver.icp import IcpResult, refine_icp
 from quatro_tpu.solver.quatro import register_correspondences
 from quatro_tpu.types import PointBatch, RegistrationSolution
 
@@ -35,14 +36,17 @@ class PipelineResult(NamedTuple):
     correspondences: Correspondences
     src_voxels: PointBatch
     tgt_voxels: PointBatch
+    # Point-to-plane refinement details when config.icp.enabled (None
+    # otherwise — config is static, so jit sees a fixed pytree shape).
+    icp: Optional["IcpResult"] = None
 
 
 def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
                      config: PipelineConfig):
     """Voxel downsample -> normals -> FPFH for one cloud.
 
-    Returns (voxel PointBatch, descriptors (V, 33), descriptor mask).
-    Mirrors FPFHManager::setFeaturePair's per-cloud half
+    Returns (voxel PointBatch, descriptors (V, 33), descriptor mask,
+    Normals). Mirrors FPFHManager::setFeaturePair's per-cloud half
     (reference: include/fpfh_manager.hpp:98-129).
     """
     vox_pts, vox_mask = voxel_downsample(points, mask, config.voxel_size,
@@ -55,7 +59,7 @@ def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
     desc = compute_fpfh(vox_pts, normals.normals, nbrs_f,
                         normal_valid=normals.valid)
     desc_mask = vox_mask & normals.valid
-    return PointBatch(vox_pts, vox_mask), desc, desc_mask
+    return PointBatch(vox_pts, vox_mask), desc, desc_mask, normals
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -63,11 +67,13 @@ def register_features(src: PointBatch, tgt: PointBatch,
                       config: PipelineConfig = PipelineConfig()
                       ) -> PipelineResult:
     """Front-end slice: feature extraction + matching + solve on
-    already-preprocessed clouds (the minimum end-to-end path)."""
-    src_vox, src_desc, src_dmask = extract_features(src.points, src.mask,
-                                                    config)
-    tgt_vox, tgt_desc, tgt_dmask = extract_features(tgt.points, tgt.mask,
-                                                    config)
+    already-preprocessed clouds (the minimum end-to-end path). With
+    config.icp.enabled, the coarse pose is polished by point-to-plane ICP
+    on the voxel clouds (solver/icp.py) without leaving the jit."""
+    src_vox, src_desc, src_dmask, _ = extract_features(src.points, src.mask,
+                                                       config)
+    tgt_vox, tgt_desc, tgt_dmask, tgt_normals = extract_features(
+        tgt.points, tgt.mask, config)
 
     corr = match_features(
         src_vox.points, tgt_vox.points, src_desc, tgt_desc,
@@ -80,7 +86,38 @@ def register_features(src: PointBatch, tgt: PointBatch,
 
     sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
                                    config.solver)
-    return PipelineResult(sol, corr, src_vox, tgt_vox)
+    icp_res = None
+    if config.icp.enabled:
+        sol, icp_res = refine_solution(src.points, src.mask,
+                                       tgt.points, tgt.mask, sol, config)
+    return PipelineResult(sol, corr, src_vox, tgt_vox, icp_res)
+
+
+def refine_solution(src_points: jnp.ndarray, src_mask: jnp.ndarray,
+                    tgt_points: jnp.ndarray, tgt_mask: jnp.ndarray,
+                    sol: RegistrationSolution, config: PipelineConfig):
+    """Point-to-plane ICP polish of a coarse solution on the given clouds.
+
+    Voxelizes both clouds and estimates target normals internally (XLA CSEs
+    these away when the same clouds already went through the front-end).
+    IMPORTANT: pass clouds that still contain the ground — refining on
+    ground-removed segments leaves z unconstrained wherever the remaining
+    structure is vertical, and the pose drifts vertically.
+    """
+    vox_s, m_s = voxel_downsample(src_points, src_mask, config.voxel_size,
+                                  config.max_voxels)
+    vox_t, m_t = voxel_downsample(tgt_points, tgt_mask, config.voxel_size,
+                                  config.max_voxels)
+    nbrs = radius_neighbors(vox_t, m_t, config.fpfh.normal_radius,
+                            config.fpfh.max_neighbors_normal)
+    normals = estimate_normals(vox_t, nbrs)
+    icp_res = refine_icp(vox_s, m_s, vox_t, m_t,
+                         normals.normals, normals.valid,
+                         sol.rotation, sol.translation, config.icp,
+                         valid=sol.valid)
+    sol = sol.replace(rotation=icp_res.rotation,
+                      translation=icp_res.translation)
+    return sol, icp_res
 
 
 def preprocess(points: jnp.ndarray, mask: jnp.ndarray,
@@ -118,5 +155,19 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
     """
     src_seg, _ = preprocess(src.points, src.mask, config)
     tgt_seg, _ = preprocess(tgt.points, tgt.mask, config)
-    return register_features(PointBatch(src.points, src_seg),
-                             PointBatch(tgt.points, tgt_seg), config)
+    if not config.icp.enabled:
+        return register_features(PointBatch(src.points, src_seg),
+                                 PointBatch(tgt.points, tgt_seg), config)
+    # Coarse solve on the segmented clouds, but refine on the RAW clouds:
+    # the ground plane Patchwork removed is exactly what constrains z in
+    # the point-to-plane polish (see refine_solution).
+    import dataclasses
+    coarse_cfg = dataclasses.replace(
+        config, icp=dataclasses.replace(config.icp, enabled=False))
+    res = register_features(PointBatch(src.points, src_seg),
+                            PointBatch(tgt.points, tgt_seg), coarse_cfg)
+    sol, icp_res = refine_solution(src.points, src.mask,
+                                   tgt.points, tgt.mask,
+                                   res.solution, config)
+    return PipelineResult(sol, res.correspondences,
+                          res.src_voxels, res.tgt_voxels, icp_res)

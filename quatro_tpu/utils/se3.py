@@ -54,6 +54,25 @@ def rotation_geodesic_error(r1, r2):
     return jnp.arctan2(sin, cos)
 
 
+def exp_so3(w):
+    """Rodrigues' formula: (3,) axis-angle vector -> (3,3) rotation.
+
+    Small-angle-safe: uses the sinc/versine series below 1e-4 rad so the
+    ICP update stays exact under f32 near convergence.
+    """
+    theta_sq = jnp.sum(w * w)
+    theta = jnp.sqrt(theta_sq)
+    k = jnp.array([[0.0, -w[2], w[1]],
+                   [w[2], 0.0, -w[0]],
+                   [-w[1], w[0], 0.0]], dtype=w.dtype)
+    small = theta < 1e-4
+    a = jnp.where(small, 1.0 - theta_sq / 6.0,
+                  jnp.sin(theta) / jnp.where(small, 1.0, theta))
+    b = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta_sq))
+    return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
+
+
 def rotation_from_rpy(roll, pitch, yaw):
     """Rz(yaw) @ Ry(pitch) @ Rx(roll)."""
     cr, sr = jnp.cos(roll), jnp.sin(roll)

@@ -1,0 +1,173 @@
+"""Point-to-plane ICP refinement (solver/icp.py) — extension beyond the
+reference (which stops at the coarse global pose, reference README.md:26-44)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quatro_tpu.config import FPFHConfig, IcpConfig, LidarConfig, \
+    PipelineConfig, replace
+from quatro_tpu.solver.icp import refine_icp
+from quatro_tpu.utils.se3 import exp_so3, rotation_geodesic_error
+
+
+def _corner_scene(n_per_face=400, seed=0):
+    """Points on three orthogonal planes (floor + 2 walls) with exact
+    normals — constrains all 6 DoF of a point-to-plane solve."""
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(0, 10, (n_per_face, 2)).astype(np.float32)
+    floor = np.stack([u[:, 0], u[:, 1], np.zeros(n_per_face)], 1)
+    wall_x = np.stack([np.zeros(n_per_face), u[:, 0], 0.5 * u[:, 1]], 1)
+    wall_y = np.stack([u[:, 0], np.zeros(n_per_face), 0.5 * u[:, 1]], 1)
+    pts = np.concatenate([floor, wall_x, wall_y]).astype(np.float32)
+    nrm = np.concatenate([
+        np.tile([0, 0, 1.0], (n_per_face, 1)),
+        np.tile([1.0, 0, 0], (n_per_face, 1)),
+        np.tile([0, 1.0, 0], (n_per_face, 1))]).astype(np.float32)
+    return pts, nrm
+
+
+def _perturbation(axis, angle_rad, trans):
+    rot = np.asarray(exp_so3(jnp.asarray(np.asarray(axis, np.float32)
+                                         * angle_rad)))
+    return rot, np.asarray(trans, np.float32)
+
+
+def test_icp_recovers_small_pose_error():
+    tgt, nrm = _corner_scene()
+    rot_err, t_err = _perturbation([0.2, -0.3, 1.0], np.deg2rad(4.0),
+                                   [0.3, -0.2, 0.15])
+    # src = R_err^-1 (tgt - t_err): the exact pose aligning src -> tgt is
+    # (R_err, t_err); start ICP from identity-ish (zero) initialization.
+    src = (tgt - t_err) @ rot_err
+    mask = jnp.ones(src.shape[0], bool)
+    res = refine_icp(jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+                     jnp.asarray(nrm), mask,
+                     jnp.eye(3), jnp.zeros(3), IcpConfig(iterations=12))
+    ang = np.rad2deg(float(rotation_geodesic_error(
+        res.rotation, jnp.asarray(rot_err))))
+    assert bool(res.converged)
+    assert ang < 0.1
+    assert np.linalg.norm(np.asarray(res.translation) - t_err) < 0.01
+    assert float(res.rmse) < 0.01
+
+
+def test_icp_yaw_only_keeps_level():
+    tgt, nrm = _corner_scene(seed=1)
+    rot_err, t_err = _perturbation([0, 0, 1.0], np.deg2rad(3.0), [0.2, 0.1, 0.0])
+    src = (tgt - t_err) @ rot_err
+    mask = jnp.ones(src.shape[0], bool)
+    res = refine_icp(jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+                     jnp.asarray(nrm), mask, jnp.eye(3), jnp.zeros(3),
+                     IcpConfig(iterations=12, yaw_only=True))
+    r = np.asarray(res.rotation)
+    # z column stays exactly [0,0,1] under yaw-only updates
+    np.testing.assert_allclose(r[:, 2], [0, 0, 1], atol=1e-6)
+    ang = np.rad2deg(float(rotation_geodesic_error(res.rotation,
+                                                   jnp.asarray(rot_err))))
+    assert ang < 0.1
+
+
+def test_icp_invalid_coarse_passes_through():
+    tgt, nrm = _corner_scene(seed=2)
+    mask = jnp.ones(tgt.shape[0], bool)
+    r0 = jnp.asarray(exp_so3(jnp.asarray([0.0, 0.0, 0.5])))
+    t0 = jnp.asarray([1.0, 2.0, 3.0])
+    res = refine_icp(jnp.asarray(tgt), mask, jnp.asarray(tgt), mask,
+                     jnp.asarray(nrm), mask, r0, t0,
+                     IcpConfig(), valid=jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(res.rotation), np.asarray(r0))
+    np.testing.assert_array_equal(np.asarray(res.translation), np.asarray(t0))
+    assert not bool(res.converged)
+
+
+def test_icp_too_far_apart_leaves_pose():
+    tgt, nrm = _corner_scene(seed=3)
+    src = tgt + np.float32([500.0, 0, 0])   # beyond max corr distance
+    mask = jnp.ones(tgt.shape[0], bool)
+    res = refine_icp(jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+                     jnp.asarray(nrm), mask, jnp.eye(3), jnp.zeros(3),
+                     IcpConfig(iterations=4))
+    assert not bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.rotation), np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.translation), 0.0, atol=1e-6)
+
+
+def test_icp_vmaps():
+    tgt, nrm = _corner_scene(seed=4)
+    rot_err, t_err = _perturbation([0, 0, 1.0], np.deg2rad(2.0), [0.1, 0, 0])
+    src = (tgt - t_err) @ rot_err
+    mask = jnp.ones(src.shape[0], bool)
+    cfg = IcpConfig(iterations=6, max_source_points=512)
+
+    def solve(s):
+        return refine_icp(s, mask, jnp.asarray(tgt), mask, jnp.asarray(nrm),
+                          mask, jnp.eye(3), jnp.zeros(3), cfg)
+
+    batch = jnp.stack([jnp.asarray(src)] * 3)
+    res = jax.vmap(solve)(batch)
+    assert res.rotation.shape == (3, 3, 3)
+    assert bool(res.converged.all())
+
+
+@pytest.mark.parametrize("yaw_only", [False, True])
+def test_pipeline_icp_improves_accuracy(yaw_only):
+    from quatro_tpu.io.synthetic import make_scan_pair
+    from quatro_tpu.pipeline import register_scan_pair
+    from quatro_tpu.types import PointBatch
+
+    lidar = LidarConfig.preset("VLP-16")
+    base = PipelineConfig(lidar=lidar, max_raw_points=32768,
+                          max_nonground_points=16384,
+                          max_segment_points=8192, max_voxels=2048,
+                          fpfh=FPFHConfig(max_correspondences=256))
+    src_xyz, tgt_xyz, gt = make_scan_pair(seed=7, yaw_deg=20.0,
+                                          translation=(2.5, 1.0, 0.0),
+                                          lidar=lidar)
+    src = PointBatch.from_numpy(src_xyz, base.max_raw_points)
+    tgt = PointBatch.from_numpy(tgt_xyz, base.max_raw_points)
+
+    coarse = register_scan_pair(src, tgt, base)
+    assert coarse.icp is None
+    fine = register_scan_pair(
+        src, tgt, replace(base, icp=IcpConfig(enabled=True,
+                                              yaw_only=yaw_only)))
+    assert fine.icp is not None and bool(fine.icp.converged)
+
+    gt_r, gt_t = jnp.asarray(gt[:3, :3]), np.asarray(gt[:3, 3])
+
+    def errs(sol):
+        ang = np.rad2deg(float(rotation_geodesic_error(sol.rotation, gt_r)))
+        return ang, float(np.linalg.norm(np.asarray(sol.translation) - gt_t))
+
+    ang_c, tr_c = errs(coarse.solution)
+    ang_f, tr_f = errs(fine.solution)
+    assert bool(fine.solution.valid)
+    # The coarse error on this fixture is already at the voxel-sampling
+    # noise floor (~3 cm), so require parity within that floor...
+    assert ang_f <= ang_c + 0.1
+    assert tr_f <= tr_c + 0.02
+    assert tr_f < 0.1 and ang_f < 0.5
+
+    # ...and demonstrate the real value: from a deliberately degraded
+    # coarse pose (1.5 deg yaw + 20 cm offset), refinement must recover
+    # to the same accuracy class instead of inheriting the degradation.
+    from quatro_tpu.solver.icp import refine_icp
+    from quatro_tpu.utils.se3 import yaw_to_rotation
+
+    bad_r = yaw_to_rotation(jnp.deg2rad(1.5)) @ coarse.solution.rotation
+    bad_t = coarse.solution.translation + jnp.asarray([0.2, -0.15, 0.05])
+    # target-side features of the `fine` run carry the normals; recompute
+    # them the same way the pipeline does.
+    from quatro_tpu.pipeline import extract_features
+    tgt_vox, _, _, tgt_normals = extract_features(tgt.points, tgt.mask, base)
+    src_vox = fine.src_voxels
+    rec = refine_icp(src_vox.points, src_vox.mask, tgt_vox.points,
+                     tgt_vox.mask, tgt_normals.normals, tgt_normals.valid,
+                     bad_r, bad_t, IcpConfig(enabled=True, iterations=12,
+                                             yaw_only=yaw_only))
+    ang_r = np.rad2deg(float(rotation_geodesic_error(rec.rotation, gt_r)))
+    tr_r = float(np.linalg.norm(np.asarray(rec.translation) - gt_t))
+    assert bool(rec.converged)
+    assert ang_r < 0.5 and tr_r < 0.1
