@@ -179,4 +179,8 @@ def test_scan_loader_destroy_races_blocked_next(tmp_path, rng):
     t.join(timeout=10)
     closer.join(timeout=10)
     assert not t.is_alive() and not closer.is_alive()
-    assert got == ["stopped"]
+    # Two legal orderings: close() wins the race -> the consumer stops; the
+    # fifo release wins -> the worker legitimately delivers the (empty)
+    # scan before shutdown. The invariant under test is no crash, no hang,
+    # no use-after-free — not which side wins.
+    assert got in (["stopped"], ["item"])
