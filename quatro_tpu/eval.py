@@ -158,7 +158,14 @@ def evaluate_scaling(batch_per_device: int = 4,
                      device_counts: Optional[List[int]] = None,
                      n_corr: int = 512, iters: int = 10) -> dict:
     """Weak-scaling efficiency of the sharded correspondence solver across
-    mesh sizes (throughput_n / (n * throughput_1))."""
+    mesh sizes (throughput_n / (n * throughput_1)).
+
+    CAVEAT: on *virtual* devices (xla_force_host_platform_device_count)
+    all mesh sizes share the same physical cores, so this measures core
+    contention, not scaling — expect efficiency ~1/n there. The structural
+    scaling evidence (zero collectives in the compiled registration HLO)
+    lives in parallel/diagnostics.py::collective_profile; run this
+    function on real multi-chip hardware only."""
     import jax
     import jax.numpy as jnp
     from quatro_tpu.io.synthetic import make_correspondences

@@ -142,3 +142,33 @@ def test_loop_closing_step_end_to_end():
     assert np.asarray(sols.valid).all()
     err = np.linalg.norm(poses[:, :3] - gt[:, :3], axis=1)
     assert err.max() < 0.25, f"pose errors {err}"
+
+
+def test_communication_profile_is_pinned():
+    """Registration must compile to ZERO collectives (embarrassingly
+    parallel over the pairs axis); loop closing must reduce with
+    all-reduce only, never gather cloud-sized tensors. Guards against a
+    refactor silently introducing resharding (see parallel/diagnostics.py).
+    """
+    from quatro_tpu.parallel.diagnostics import collective_profile
+
+    mesh = make_pairs_mesh()
+    b = 8
+    pairs = [make_correspondences(seed=s, n_inliers=30, n_outliers=98)
+             for s in range(b)]
+    src = jnp.stack([jnp.asarray(p[0]) for p in pairs])
+    tgt = jnp.stack([jnp.asarray(p[1]) for p in pairs])
+    mask = jnp.ones(src.shape[:2], bool)
+
+    reg_profile = collective_profile(sharded_register_batch(mesh),
+                                     src, tgt, mask)
+    assert not reg_profile, f"registration gained collectives: {reg_profile}"
+
+    step = make_loop_closing_step(mesh, b, SolverConfig(),
+                                  gn_iters=3, cg_iters=8)
+    ei = jnp.arange(b, dtype=jnp.int32)
+    ej = (ei + 1) % b
+    gt = jnp.zeros((b, 4))
+    loop_profile = collective_profile(step, src, tgt, mask, ei, ej, gt)
+    assert set(loop_profile) <= {"all-reduce"}, loop_profile
+    assert loop_profile["all-reduce"] >= 1
