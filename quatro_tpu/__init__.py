@@ -10,15 +10,16 @@ meshes instead of OpenMP threads.
 
 __version__ = "0.1.0"
 
-from quatro_tpu.config import (DEFAULT_CONFIG, FPFHConfig, IcpConfig,
+from quatro_tpu.config import (DEFAULT_CONFIG, FPFHConfig,
+                               GroundAlignmentConfig, IcpConfig,
                                LidarConfig, PatchworkConfig, PipelineConfig,
                                ProjectionConfig, SolverConfig, replace)
 from quatro_tpu.registration import QuatroRegistration
 from quatro_tpu.types import PointBatch, RegistrationSolution
 
 __all__ = [
-    "DEFAULT_CONFIG", "FPFHConfig", "IcpConfig", "LidarConfig",
-    "PatchworkConfig", "PipelineConfig", "ProjectionConfig",
+    "DEFAULT_CONFIG", "FPFHConfig", "GroundAlignmentConfig", "IcpConfig",
+    "LidarConfig", "PatchworkConfig", "PipelineConfig", "ProjectionConfig",
     "QuatroRegistration", "SolverConfig", "PointBatch",
     "RegistrationSolution", "replace", "__version__",
 ]

@@ -302,6 +302,34 @@ class IcpConfig:
 
 
 @dataclass(frozen=True)
+class GroundAlignmentConfig:
+    """Roll/pitch/z from the segmented ground (Quatro++, IJRR'24).
+
+    Extension beyond the reference repo (which is yaw-only quasi-SO(3)
+    with an optional IMU prior, include/quatro.hpp:276-279): level both
+    scans by their fitted ground planes before the yaw solve, and read the
+    vertical translation off the ground-height difference. Disabled by
+    default for exact reference parity. See solver/ground.py.
+    """
+
+    enabled: bool = False
+    # Gates on each scan's plane fit; a failing pair degrades to identity
+    # leveling (yaw-only behavior) instead of failing.
+    min_points: int = 256
+    max_tilt_deg: float = 35.0      # reject walls masquerading as ground
+    max_flatness: float = 0.01      # lambda_min / trace of the scatter
+    # Replace COTE's correspondence-voted z with the closed-form
+    # ground-height difference (every ground point votes for it).
+    use_ground_z: bool = True
+
+    def __post_init__(self):
+        if self.min_points < 3:
+            raise ValueError("ground alignment needs >= 3 points")
+        if not (0.0 < self.max_tilt_deg < 90.0):
+            raise ValueError("max_tilt_deg must be in (0, 90)")
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     """End-to-end pipeline configuration with all static capacities."""
 
@@ -311,6 +339,7 @@ class PipelineConfig:
     fpfh: FPFHConfig = FPFHConfig()
     solver: SolverConfig = SolverConfig()
     icp: IcpConfig = IcpConfig()
+    ground_alignment: GroundAlignmentConfig = GroundAlignmentConfig()
     ground_segmentation_mode: str = "Patchwork"  # "Patchwork" | "LeGO-LOAM"
     # Range-image sub-cluster rejection is the reference's FPFH speed
     # booster (README.md:102-104, "not presented in our paper") — it can

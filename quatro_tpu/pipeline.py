@@ -151,23 +151,57 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
     examples/run_global_registration.cpp:127-251):
 
         Patchwork ground removal -> range-image sub-cluster rejection ->
-        voxel -> FPFH -> matching -> Quatro solve.
+        [ground-plane leveling] -> voxel -> FPFH -> matching ->
+        Quatro solve -> [compose leveling back] -> [ICP polish].
+
+    With config.ground_alignment.enabled, both scans are leveled by their
+    fitted ground planes before the yaw-only solve and the result is
+    composed back to the raw frames — full 6-DoF from ground segmentation,
+    the Quatro++ extension (solver/ground.py). Note the returned
+    correspondences / voxel clouds are then in the LEVELED frames; the
+    solution is always in the raw frames.
     """
-    src_seg, _ = preprocess(src.points, src.mask, config)
-    tgt_seg, _ = preprocess(tgt.points, tgt.mask, config)
-    if not config.icp.enabled:
-        return register_features(PointBatch(src.points, src_seg),
-                                 PointBatch(tgt.points, tgt_seg), config)
-    # Coarse solve on the segmented clouds, but refine on the RAW clouds:
-    # the ground plane Patchwork removed is exactly what constrains z in
-    # the point-to-plane polish (see refine_solution).
     import dataclasses
-    coarse_cfg = dataclasses.replace(
-        config, icp=dataclasses.replace(config.icp, enabled=False))
-    res = register_features(PointBatch(src.points, src_seg),
-                            PointBatch(tgt.points, tgt_seg), coarse_cfg)
-    sol, icp_res = refine_solution(src.points, src.mask,
-                                   tgt.points, tgt.mask,
-                                   res.solution, config)
+
+    src_seg, src_ground = preprocess(src.points, src.mask, config)
+    tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
+
+    # Coarse solve happens on the (possibly leveled) segmented clouds; the
+    # ICP polish, when enabled, runs afterwards on the RAW clouds — the
+    # ground plane Patchwork removed is exactly what constrains z in the
+    # point-to-plane stage (see refine_solution).
+    coarse_cfg = config
+    if config.icp.enabled:
+        coarse_cfg = dataclasses.replace(
+            config, icp=dataclasses.replace(config.icp, enabled=False))
+
+    ga = None
+    src_pts, tgt_pts = src.points, tgt.points
+    if config.ground_alignment.enabled:
+        from quatro_tpu.solver.ground import (align_ground,
+                                              compose_leveled_solution)
+        ga = align_ground(src.points, src_ground & src.mask,
+                          tgt.points, tgt_ground & tgt.mask,
+                          config.ground_alignment)
+        # HIGHEST: rotating metre-scale clouds through the MXU's default
+        # bf16 path injects ~0.1 m of coordinate noise — fatal upstream of
+        # voxel/FPFH (caught on the real chip; CPU runs mask it).
+        hi = jax.lax.Precision.HIGHEST
+        src_pts = jnp.matmul(src.points, ga.src_level.T, precision=hi)
+        tgt_pts = jnp.matmul(tgt.points, ga.tgt_level.T, precision=hi)
+
+    res = register_features(PointBatch(src_pts, src_seg),
+                            PointBatch(tgt_pts, tgt_seg), coarse_cfg)
+    sol = res.solution
+    if ga is not None:
+        rot, t = compose_leveled_solution(
+            sol.rotation, sol.translation, ga,
+            use_ground_z=config.ground_alignment.use_ground_z)
+        sol = sol.replace(rotation=rot, translation=t)
+
+    icp_res = res.icp
+    if config.icp.enabled:
+        sol, icp_res = refine_solution(src.points, src.mask,
+                                       tgt.points, tgt.mask, sol, config)
     return PipelineResult(sol, res.correspondences,
                           res.src_voxels, res.tgt_voxels, icp_res)
