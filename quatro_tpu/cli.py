@@ -23,10 +23,13 @@ import numpy as np
 
 
 def _build_config(args):
-    from quatro_tpu.config import (FPFHConfig, IcpConfig, LidarConfig,
+    from quatro_tpu.config import (FPFHConfig, GroundAlignmentConfig,
+                                   IcpConfig, LidarConfig,
                                    PipelineConfig, SolverConfig)
     icp = IcpConfig(enabled=getattr(args, "refine", False),
                     yaw_only=getattr(args, "refine_yaw_only", False))
+    ground = GroundAlignmentConfig(
+        enabled=getattr(args, "ground_alignment", False))
     if getattr(args, "params_yaml", None) or getattr(args, "patchwork_yaml",
                                                      None):
         from quatro_tpu.config_io import load_params_yaml
@@ -34,11 +37,12 @@ def _build_config(args):
         cfg = load_params_yaml(args.params_yaml, args.patchwork_yaml)
         return dataclasses.replace(
             cfg, max_raw_points=args.max_raw_points,
-            max_voxels=args.max_voxels, icp=icp,
+            max_voxels=args.max_voxels, icp=icp, ground_alignment=ground,
             fpfh=dataclasses.replace(
                 cfg.fpfh, max_correspondences=args.max_correspondences))
     return PipelineConfig(
         icp=icp,
+        ground_alignment=ground,
         lidar=LidarConfig.preset(args.lidar_type),
         ground_segmentation_mode=args.ground_mode,
         use_subclustering=not getattr(args, "no_subclustering", False),
@@ -206,6 +210,9 @@ def main(argv=None) -> int:
     r.add_argument("--max-raw-points", type=int, default=131072)
     r.add_argument("--max-voxels", type=int, default=8192)
     r.add_argument("--max-correspondences", type=int, default=1024)
+    r.add_argument("--ground-alignment", action="store_true",
+                   help="level scans by their fitted ground planes "
+                        "(full 6-DoF, Quatro++ extension)")
     r.add_argument("--refine", action="store_true",
                    help="polish the coarse pose with on-device "
                         "point-to-plane ICP (extension beyond the reference)")
@@ -225,6 +232,14 @@ def main(argv=None) -> int:
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--cache-dir", default="/root/repo/.scan_cache",
                    help="disk cache for generated scan pairs")
+    e.add_argument("--tilt-deg", type=float, default=0.0,
+                   help="random per-scan roll/pitch tilt (non-level "
+                        "platform); pair with --ground-alignment")
+    e.add_argument("--ground-alignment", action="store_true",
+                   help="level scans by their fitted ground planes "
+                        "(full 6-DoF, Quatro++ extension)")
+    e.add_argument("--refine", action="store_true",
+                   help="polish with on-device point-to-plane ICP")
     e.set_defaults(fn=cmd_evaluate)
 
     s = sub.add_parser("sweep",
@@ -245,12 +260,18 @@ def main(argv=None) -> int:
 
 def cmd_evaluate(args) -> int:
     _enable_compile_cache()
-    from quatro_tpu.config import LidarConfig, PipelineConfig
+    from quatro_tpu.config import (GroundAlignmentConfig, IcpConfig,
+                                   LidarConfig, PipelineConfig)
     from quatro_tpu.eval import evaluate_loop_closures
-    config = PipelineConfig(lidar=LidarConfig.preset(args.lidar_type),
-                            max_voxels=args.max_voxels)
+    config = PipelineConfig(
+        lidar=LidarConfig.preset(args.lidar_type),
+        max_voxels=args.max_voxels,
+        ground_alignment=GroundAlignmentConfig(
+            enabled=getattr(args, "ground_alignment", False)),
+        icp=IcpConfig(enabled=getattr(args, "refine", False)))
     report = evaluate_loop_closures(args.n_pairs, config, seed0=args.seed,
-                                    cache_dir=args.cache_dir)
+                                    cache_dir=args.cache_dir,
+                                    tilt_deg=getattr(args, "tilt_deg", 0.0))
     print(json.dumps(report.summary()))
     return 0
 

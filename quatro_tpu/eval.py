@@ -71,6 +71,26 @@ def _pose_error(transform: np.ndarray, gt: np.ndarray) -> Tuple[float, float]:
     return float(np.degrees(angle)), float(trans)
 
 
+def _tilt_pair(src_xyz: np.ndarray, tgt_xyz: np.ndarray, gt: np.ndarray,
+               tilt_deg: float, rng: np.random.Generator):
+    """Tilt each scan by an independent random roll/pitch (a non-level
+    platform) and return the adjusted ground truth:
+    tgt = R src + t  =>  (B tgt) = (B R A^T)(A src) + B t."""
+    def tilt_rot():
+        roll, pitch = np.deg2rad(rng.uniform(-tilt_deg, tilt_deg, 2))
+        cr, sr = np.cos(roll), np.sin(roll)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        return (ry @ rx).astype(np.float32)
+
+    a, b = tilt_rot(), tilt_rot()
+    gt2 = np.eye(4, dtype=np.float32)
+    gt2[:3, :3] = b @ gt[:3, :3] @ a.T
+    gt2[:3, 3] = b @ gt[:3, 3]
+    return src_xyz @ a.T, tgt_xyz @ b.T, gt2
+
+
 def evaluate_loop_closures(n_pairs: int = 50,
                            config: Optional[PipelineConfig] = None,
                            rot_thresh_deg: float = 5.0,
@@ -79,11 +99,15 @@ def evaluate_loop_closures(n_pairs: int = 50,
                            trans_range: float = 5.0,
                            seed0: int = 0,
                            raw_capacity: int = 131072,
-                           cache_dir: Optional[str] = None) -> EvalReport:
+                           cache_dir: Optional[str] = None,
+                           tilt_deg: float = 0.0) -> EvalReport:
     """Register n synthetic loop-closure pairs; report success statistics.
 
     Pairs sample the full yaw circle (loop closures arrive at arbitrary
-    heading) and up to `trans_range` meters of displacement.
+    heading) and up to `trans_range` meters of displacement. With
+    tilt_deg > 0 each scan is additionally tilted by an independent random
+    roll/pitch in [-tilt_deg, tilt_deg] — the non-level-platform case that
+    needs config.ground_alignment (solver/ground.py) for full accuracy.
     """
     import jax
     import jax.numpy as jnp
@@ -117,6 +141,8 @@ def evaluate_loop_closures(n_pairs: int = 50,
             for f in futs:
                 f.result()
 
+    tilt_rng = np.random.default_rng(seed0 + 777)
+
     # compile once
     s0, t0_, gt0 = make_scan_pair(seed=seed0, yaw_deg=cases[0][1],
                                   translation=tuple(cases[0][2]),
@@ -135,6 +161,9 @@ def evaluate_loop_closures(n_pairs: int = 50,
                                               translation=tuple(tr),
                                               lidar=config.lidar,
                                               cache_dir=cache_dir)
+        if tilt_deg > 0.0:
+            src_xyz, tgt_xyz, gt = _tilt_pair(src_xyz, tgt_xyz, gt,
+                                              tilt_deg, tilt_rng)
         out = fn(PointBatch.from_numpy(src_xyz, raw_capacity),
                  PointBatch.from_numpy(tgt_xyz, raw_capacity))
         outs.append((sd, gt, out))

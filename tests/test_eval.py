@@ -18,6 +18,32 @@ def test_loop_closure_eval_small():
     assert s["success_rate"] >= 5 / 6, s
 
 
+def test_loop_closure_eval_tilted_with_ground_alignment():
+    """Non-level platforms (random per-scan roll/pitch): ground alignment
+    must keep the success rate and beat yaw-only on rotation error."""
+    from quatro_tpu.config import GroundAlignmentConfig
+
+    lidar = LidarConfig.preset("VLP-16")
+    base = PipelineConfig(lidar=lidar, max_voxels=2048,
+                          fpfh=FPFHConfig.for_lidar(
+                              lidar, max_correspondences=256))
+    kw = dict(n_pairs=5, raw_capacity=32768, trans_range=4.0, tilt_deg=5.0)
+    cfg = PipelineConfig(**{**base.__dict__,
+                            "ground_alignment":
+                            GroundAlignmentConfig(enabled=True)})
+    rep = evaluate_loop_closures(config=cfg, **kw)
+    rep0 = evaluate_loop_closures(config=base, **kw)
+    s = rep.summary()
+    assert s["success_rate"] >= 4 / 5, s
+    med = np.median([p.rot_err_deg for p in rep.pairs])
+    med0 = np.median([p.rot_err_deg for p in rep0.pairs])
+    assert med < med0, (med, med0)
+    # ±5 deg per-scan tilt (up to ~8.6 deg relative): yaw-only carries
+    # several degrees of it; leveling leaves ~1 deg on the sparse VLP-16
+    assert med < 1.5, med
+    assert med0 > 2.0, med0
+
+
 def test_fpfh_for_lidar_scaling():
     dense = LidarConfig.preset("Velodyne-64-HDE")
     sparse = LidarConfig.preset("VLP-16")
