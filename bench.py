@@ -5,11 +5,14 @@ Baseline target: >100 registrations/s/chip (BASELINE.md build targets);
 the reference C++ pipeline runs ~5 pairs/s on 4 CPU threads (~0.2 s
 front-end per pair, reference README.md:104).
 
-Two serving patterns are measured; the headline is the faster (batched):
-  - batched:   jit(vmap(pipeline)) over B=16 scan pairs per device call —
-               the throughput pattern (amortizes per-op overheads on the
-               many small stages; the MXU stages are already batched).
-  - streaming: async dispatch of single-pair calls — the latency pattern.
+The headline is the batched serving pattern: jit(vmap(pipeline)) over B=16
+scan pairs per device call — it amortizes per-op dispatch overheads on the
+many small stages (the MXU stages are already batched). Pass ``--streaming``
+to also measure async single-pair dispatch (the latency pattern); it is off
+by default because each extra jitted program costs ~10 min of remote axon
+compile that the persistent compile cache cannot skip (compilation happens
+on the tunnel's far side), and the batched number is strictly the faster
+of the two.
 """
 
 import json
@@ -17,6 +20,14 @@ import sys
 import time
 
 import numpy as np
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.time()
 
 
 def _median_throughput(fn, args, n_per_call, n_calls, trials, get_out):
@@ -36,7 +47,8 @@ def _median_throughput(fn, args, n_per_call, n_calls, trials, get_out):
 def main():
     import jax
     import jax.numpy as jnp
-    try:  # persistent compile cache: bench pays the axon remote-compile once
+    try:  # persistent compile cache (helps CPU/local backends; the axon
+        # remote compile recompiles server-side regardless — see docstring)
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -48,12 +60,15 @@ def main():
     from quatro_tpu.pipeline import register_scan_pair
     from quatro_tpu.types import PointBatch
 
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    argv = [a for a in sys.argv[1:] if not a.startswith("-")]
+    streaming = "--streaming" in sys.argv
+    n_pairs = int(argv[0]) if argv else 8
     batch = 16
     config = PipelineConfig(
         max_raw_points=131072, max_voxels=8192,
         fpfh=FPFHConfig(max_correspondences=1024))
 
+    _log(f"device: {jax.devices()[0]}")
     pairs = []
     for s in range(n_pairs):
         a, b, _ = make_scan_pair(seed=s, yaw_deg=10.0 + 7 * s,
@@ -62,10 +77,7 @@ def main():
                                  cache_dir="/root/repo/.scan_cache")
         pairs.append((PointBatch.from_numpy(a, 131072),
                       PointBatch.from_numpy(b, 131072)))
-
-    fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
-    out = fn(*pairs[0])  # compile + warm
-    jax.block_until_ready(out.solution.rotation)
+    _log(f"{n_pairs} distinct scan pairs ready (~106k pts/scan)")
 
     # Batched: stack B=16 pairs (cycling the distinct scans) into one
     # vmapped device call; rotate between offset batches so no two
@@ -77,8 +89,10 @@ def main():
         return s, t
     batches = [make_batch(off) for off in range(4)]
     bfn = jax.jit(jax.vmap(lambda s, t: register_scan_pair(s, t, config)))
+    _log("compiling batched vmap16 pipeline (remote compile; ~10 min cold)")
     bout = bfn(*batches[0])
     jax.block_until_ready(bout.solution.rotation)
+    _log("batched pipeline compiled + warm")
 
     # The steady-state dispatch loop finishes in milliseconds, so a single
     # trial is at the mercy of host/tunnel jitter — run several trials and
@@ -90,27 +104,38 @@ def main():
     batched_pps, bouts = _median_throughput(
         bfn, [batches[i % 4] for i in range(16)], batch, 16, 5,
         lambda o: o.solution.rotation)
+    _log(f"batched: {batched_pps:.0f} pairs/s")
 
-    stream_pps, souts = _median_throughput(
-        fn, pairs * 8, 1, n_pairs * 8, 5,
-        lambda o: o.solution.rotation)
+    stream_pps = None
+    if streaming:
+        fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+        _log("compiling single-pair pipeline (second remote compile)")
+        out = fn(*pairs[0])
+        jax.block_until_ready(out.solution.rotation)
+        stream_pps, _ = _median_throughput(
+            fn, pairs * 8, 1, n_pairs * 8, 5,
+            lambda o: o.solution.rotation)
+        _log(f"streaming: {stream_pps:.0f} pairs/s")
 
     n_valid = int(np.asarray(bouts[-1].solution.valid).sum())
-    pairs_per_s = max(batched_pps, stream_pps)
+    pairs_per_s = max(batched_pps, stream_pps or 0.0)
+
+    detail = {
+        "batched_vmap16_pairs_per_s": round(batched_pps, 2),
+        "distinct_pairs": n_pairs,
+        "valid_pairs": f"{n_valid}/{batch}",
+        "raw_points_per_scan": 106000,
+        "device": str(jax.devices()[0]),
+    }
+    if stream_pps is not None:
+        detail["streaming_single_pair_per_s"] = round(stream_pps, 2)
 
     print(json.dumps({
         "metric": "full_pipeline_registrations_per_sec_per_chip",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / 100.0, 3),
-        "detail": {
-            "batched_vmap16_pairs_per_s": round(batched_pps, 2),
-            "streaming_single_pair_per_s": round(stream_pps, 2),
-            "distinct_pairs": n_pairs,
-            "valid_pairs": f"{n_valid}/{batch}",
-            "raw_points_per_scan": 106000,
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 

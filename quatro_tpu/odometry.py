@@ -9,7 +9,8 @@ Replaces ``FPFHManager``'s stateful per-pair orchestration
   extraction exactly once;
 * feature-pair caching to disk so parameter sweeps skip re-extraction
   (``saveFeaturePair``/``loadFeaturePair``, fpfh_manager.hpp:179-232 —
-  .npz instead of concatenated PCD).
+  .npz here; ``quatro_tpu.io.pcd.save/load_feature_pair`` provides the
+  reference's exact concatenated-PCD format for cache interchange).
 """
 
 from __future__ import annotations

@@ -15,6 +15,7 @@ Convention: registering (src=scan_j, tgt=scan_i) yields the edge
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -24,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from quatro_tpu.config import PipelineConfig
-from quatro_tpu.odometry import FrameFeatures, OdometryRunner
+from quatro_tpu.odometry import (FrameFeatures, OdometryRunner,
+                                 load_frame_features, save_frame_features)
 from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
                                            optimize_pose_graph, wrap_angle)
 from quatro_tpu.types import PointBatch
@@ -62,20 +64,78 @@ def run_sequence(scans: Sequence[PointBatch],
                  gt_poses: Optional[np.ndarray] = None,
                  loop_radius: float = 10.0, min_gap: int = 3,
                  min_edge_inliers: int = 5,
-                 gn_iters: int = 10, cg_iters: int = 40) -> SequenceResult:
+                 gn_iters: int = 10, cg_iters: int = 40,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 8) -> SequenceResult:
     """Register a scan sequence and close its loops.
 
     loop_candidates: (i, j) index pairs to attempt as closures; if None and
     gt_poses is given, candidates are taken by pose proximity (stand-in for
     a place-recognition front end).
+
+    checkpoint_dir: if set, the run is resumable — per-frame features and
+    the edge log persist to disk (the reference has no solver-state
+    checkpointing at all; its closest analog is the feature-pair PCD cache,
+    fpfh_manager.hpp:179-232). Re-running after an interruption loads the
+    cached features, skips every registered edge, and continues from the
+    first unregistered one; a killed trajectory job loses at most
+    ``checkpoint_every`` edges of device work.
     """
     t0 = time.time()
     runner = OdometryRunner(config)
-    feats: List[FrameFeatures] = [runner.extract(s) for s in scans]
     m = len(scans)
 
-    # --- odometry edges (consecutive) ---------------------------------------
+    def _feat_path(k: int) -> str:
+        return os.path.join(checkpoint_dir, f"feat_{k:05d}.npz")
+
+    feats: List[FrameFeatures] = []
+    for k, s in enumerate(scans):
+        if checkpoint_dir and os.path.exists(_feat_path(k)):
+            feats.append(load_frame_features(_feat_path(k)))
+        else:
+            feats.append(runner.extract(s))
+            if checkpoint_dir:
+                os.makedirs(checkpoint_dir, exist_ok=True)
+                save_frame_features(_feat_path(k), feats[-1])
+
+    # --- edge plan: odometry edges first, then loop candidates --------------
+    if loop_candidates is None and gt_poses is not None:
+        loop_candidates = []
+        for i in range(m):
+            for j in range(i + min_gap + 1, m):
+                if np.linalg.norm(gt_poses[i, :3] - gt_poses[j, :3]) \
+                        < loop_radius:
+                    loop_candidates.append((i, j))
+    loop_candidates = loop_candidates or []
+    plan = [(k, k + 1) for k in range(m - 1)] + list(loop_candidates)
+
     ei, ej, t_meas, yaw_meas, weights, emask = [], [], [], [], [], []
+    odo = np.zeros((m, 4))
+    n_done = 0
+
+    state_path = (os.path.join(checkpoint_dir, "edges.npz")
+                  if checkpoint_dir else None)
+    if state_path and os.path.exists(state_path):
+        st = np.load(state_path)
+        # A checkpoint from a different plan (other scans/candidates) must
+        # not silently resume into the wrong trajectory.
+        if (int(st["m"]) == m and st["plan"].shape[0] == len(plan)
+                and np.array_equal(st["plan"], np.asarray(plan))):
+            n_done = int(st["n_done"])
+            ei = list(st["ei"][:n_done]); ej = list(st["ej"][:n_done])
+            t_meas = list(st["t_meas"][:n_done])
+            yaw_meas = list(st["yaw_meas"][:n_done])
+            weights = list(st["weights"][:n_done])
+            emask = list(st["emask"][:n_done])
+            odo = st["odo"].copy()
+
+    def _save_state():
+        np.savez(state_path, m=m, n_done=len(ei), plan=np.asarray(plan),
+                 ei=np.asarray(ei, np.int32), ej=np.asarray(ej, np.int32),
+                 t_meas=np.asarray(t_meas, np.float32).reshape(len(ei), 3),
+                 yaw_meas=np.asarray(yaw_meas, np.float32),
+                 weights=np.asarray(weights, np.float32),
+                 emask=np.asarray(emask, bool), odo=odo)
 
     def register(i: int, j: int):
         """Edge (i, j): register src=scan_j onto tgt=scan_i."""
@@ -90,29 +150,18 @@ def run_sequence(scans: Sequence[PointBatch],
         ok = bool(sol.valid) and w >= min_edge_inliers
         return ok, t, yaw, max(w, 1.0)
 
-    odo = np.zeros((m, 4))
-    for k in range(m - 1):
-        ok, t, yaw, w = register(k, k + 1)
-        ei.append(k); ej.append(k + 1)
-        t_meas.append(t); yaw_meas.append(yaw)
-        weights.append(w); emask.append(ok)
-        odo[k + 1] = _compose(odo[k], t, yaw) if ok else odo[k]
-
-    # --- loop-closure candidates ---------------------------------------------
-    if loop_candidates is None and gt_poses is not None:
-        loop_candidates = []
-        for i in range(m):
-            for j in range(i + min_gap + 1, m):
-                if np.linalg.norm(gt_poses[i, :3] - gt_poses[j, :3]) \
-                        < loop_radius:
-                    loop_candidates.append((i, j))
-    loop_candidates = loop_candidates or []
-
-    for (i, j) in loop_candidates:
+    for idx in range(n_done, len(plan)):
+        i, j = plan[idx]
         ok, t, yaw, w = register(i, j)
         ei.append(i); ej.append(j)
         t_meas.append(t); yaw_meas.append(yaw)
         weights.append(w); emask.append(ok)
+        if j == i + 1 and idx < m - 1:  # odometry edge: integrate
+            odo[j] = _compose(odo[i], t, yaw) if ok else odo[i]
+        if state_path and (idx + 1) % checkpoint_every == 0:
+            _save_state()
+    if state_path:
+        _save_state()
 
     edges = PoseGraphEdges(
         i=jnp.asarray(ei, jnp.int32), j=jnp.asarray(ej, jnp.int32),

@@ -25,6 +25,64 @@ def test_sequence_loop_closing_reduces_ate(tmp_path):
 
 
 @pytest.mark.slow
+def test_sequence_checkpoint_resume(tmp_path, monkeypatch):
+    """Kill a checkpointed run mid-trajectory; the resumed run must skip
+    completed edges and reproduce the uncheckpointed result exactly."""
+    import quatro_tpu.sequence as seq
+    from quatro_tpu.odometry import OdometryRunner
+
+    cfg = PipelineConfig(lidar=LidarConfig.preset("VLP-16"),
+                         max_voxels=2048,
+                         fpfh=FPFHConfig(max_correspondences=512))
+    scans, gt = make_synthetic_sequence(num_poses=8, seed=5, radius=6.0,
+                                        config=cfg, raw_capacity=32768,
+                                        cache_dir=str(tmp_path / "scans"))
+    ckpt = str(tmp_path / "ckpt")
+    kwargs = dict(gt_poses=gt, loop_radius=5.0, checkpoint_every=2)
+
+    calls = {"n": 0}
+    orig = OdometryRunner.register_pair
+
+    def dying_register(self, src, tgt):
+        calls["n"] += 1
+        if calls["n"] > 4:
+            raise KeyboardInterrupt("simulated kill")
+        return orig(self, src, tgt)
+
+    monkeypatch.setattr(OdometryRunner, "register_pair", dying_register)
+    with pytest.raises(KeyboardInterrupt):
+        run_sequence(scans, cfg, checkpoint_dir=ckpt, **kwargs)
+    monkeypatch.setattr(OdometryRunner, "register_pair", orig)
+
+    # resume: features come from disk, the 4 checkpointed edges are skipped
+    calls_resume = {"n": 0}
+    orig_extract = OdometryRunner.extract
+
+    def counting_register(self, src, tgt):
+        calls_resume["n"] += 1
+        return orig(self, src, tgt)
+
+    monkeypatch.setattr(OdometryRunner, "extract",
+                        lambda self, s: pytest.fail("re-extracted features"))
+    monkeypatch.setattr(OdometryRunner, "register_pair", counting_register)
+    res = run_sequence(scans, cfg, checkpoint_dir=ckpt, **kwargs)
+    monkeypatch.setattr(OdometryRunner, "register_pair", orig)
+    monkeypatch.setattr(OdometryRunner, "extract", orig_extract)
+
+    assert calls_resume["n"] == res.edges_total - 4
+
+    # and the resumed result equals a fresh un-checkpointed run
+    fresh = run_sequence(scans, cfg, **kwargs)
+    np.testing.assert_allclose(res.poses, fresh.poses, atol=1e-5)
+    assert res.edges_valid == fresh.edges_valid
+
+    # a stale checkpoint from a different plan must be ignored, not resumed
+    res2 = run_sequence(scans[:6], cfg, gt_poses=gt[:6], loop_radius=5.0,
+                        checkpoint_dir=ckpt, checkpoint_every=2)
+    assert res2.edges_total < res.edges_total
+
+
+@pytest.mark.slow
 def test_run_odometry_files_streams(tmp_path):
     from quatro_tpu.io.kitti import save_kitti_bin
     from quatro_tpu.odometry import run_odometry_files
