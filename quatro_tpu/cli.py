@@ -164,6 +164,18 @@ def cmd_register(args) -> int:
                  ctgt[clq], color=(255, 140, 0))
         save_ply(os.path.join(args.dump_dir, "final_inliers.ply"),
                  csrc[fin], color=(255, 0, 200))
+        # ground + Patchwork gate diagnostics (the reference's /ground_seg,
+        # /revert_pc, /reject_pc topics, patchwork.hpp:118-119,465-475)
+        if config.ground_segmentation_mode == "Patchwork":
+            from quatro_tpu.preprocessing.patchwork import estimate_ground
+            pw = estimate_ground(src.points, src.mask, config.patchwork)
+            spts = np.asarray(src.points)
+            save_ply(os.path.join(args.dump_dir, "ground_source.ply"),
+                     spts[np.asarray(pw.ground)], color=(120, 80, 40))
+            save_ply(os.path.join(args.dump_dir, "revert_pc.ply"),
+                     spts[np.asarray(pw.reverted)], color=(0, 255, 255))
+            save_ply(os.path.join(args.dump_dir, "reject_pc.ply"),
+                     spts[np.asarray(pw.rejected)], color=(255, 0, 0))
         print(f"PLY artifacts written to {args.dump_dir}")
 
     if args.json:

@@ -37,6 +37,13 @@ class PatchworkResult(NamedTuple):
     dropped: jax.Array     # (N,) bool — outside CZM or in a skipped patch
     patch_normal: jax.Array     # (P, 3) fitted plane normals (debug/viz)
     patch_accepted: jax.Array   # (P,) gate decision per patch
+    # Diagnostic clouds matching the reference's /revert_pc and /reject_pc
+    # rviz topics (include/patchwork.hpp:118-119,410-426,465-475): plane
+    # points of near-ring patches whose elevation exceeded the threshold
+    # but whose flatness reverted them to ground (reverted), or that failed
+    # flatness and were demoted to nonground (rejected).
+    reverted: jax.Array    # (N,) bool, subset of `ground`
+    rejected: jax.Array    # (N,) bool, subset of `nonground`
 
 
 def _patch_metadata(cfg: PatchworkConfig):
@@ -196,6 +203,11 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     accepted = upright & jnp.where(near, near_accept, far_accept)
     accepted = accepted & patch_live
 
+    # revert/reject bookkeeping (patchwork.hpp:410-426): only near-ring,
+    # upright patches that tripped the elevation gate are candidates
+    revert_patch = patch_live & upright & near & high & flat_ok
+    reject_patch = patch_live & upright & near & high & ~flat_ok
+
     # --- per-point classification (covers table-overflow points too) --------
     pid_pt = jnp.minimum(pid_s, p_cnt - 1)
     live_pt = valid_s & patch_live[pid_pt] & (pid_s < p_cnt)
@@ -203,8 +215,13 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     is_ground_pt = proj_pt < th_dist_d[pid_pt]
     ground_s = live_pt & accepted[pid_pt] & is_ground_pt
     nonground_s = live_pt & ~ground_s
+    reverted_s = live_pt & revert_patch[pid_pt] & is_ground_pt
+    rejected_s = live_pt & reject_patch[pid_pt] & is_ground_pt
 
     ground = jnp.zeros(n, bool).at[orig_idx].set(ground_s)
     nonground = jnp.zeros(n, bool).at[orig_idx].set(nonground_s)
     dropped = mask & ~ground & ~nonground
-    return PatchworkResult(ground, nonground, dropped, normal, accepted)
+    reverted = jnp.zeros(n, bool).at[orig_idx].set(reverted_s)
+    rejected = jnp.zeros(n, bool).at[orig_idx].set(rejected_s)
+    return PatchworkResult(ground, nonground, dropped, normal, accepted,
+                           reverted, rejected)

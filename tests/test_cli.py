@@ -32,6 +32,11 @@ def test_cli_register_synthetic_with_dumps(tmp_path, capsys):
         p = tmp_path / name
         assert p.exists(), name
         assert p.stat().st_size > 100, name
+    # Patchwork diagnostics (/ground_seg, /revert_pc, /reject_pc): present,
+    # possibly empty clouds (a clean scene reverts/rejects nothing)
+    for name in ("ground_source.ply", "revert_pc.ply", "reject_pc.ply"):
+        assert (tmp_path / name).exists(), name
+    assert (tmp_path / "ground_source.ply").stat().st_size > 100
 
 
 def test_cli_register_kitti_bins(tmp_path, capsys):

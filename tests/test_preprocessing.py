@@ -63,6 +63,22 @@ def test_patchwork_separates_ground_on_synthetic_scan(scan):
     assert precision > 0.9, f"ground precision {precision}"
 
 
+def test_patchwork_revert_reject_diagnostics(scan):
+    """Revert/reject clouds (reference /revert_pc, /reject_pc topics,
+    patchwork.hpp:465-475): reverted points must be classified ground,
+    rejected ones nonground, and they never overlap."""
+    xyz = scan
+    res = estimate_ground(jnp.asarray(xyz), jnp.ones(xyz.shape[0], bool))
+    ground = np.asarray(res.ground)
+    nonground = np.asarray(res.nonground)
+    reverted = np.asarray(res.reverted)
+    rejected = np.asarray(res.rejected)
+    assert not (reverted & rejected).any()
+    assert (~reverted | ground).all(), "reverted must be a subset of ground"
+    assert (~rejected | nonground).all(), \
+        "rejected must be a subset of nonground"
+
+
 def test_patchwork_masked_points_dropped(scan):
     xyz = scan
     n = xyz.shape[0]
