@@ -185,3 +185,38 @@ def test_rotation_geodesic_error_small_angle():
         jnp.eye(3, dtype=jnp.float32),
         jnp.asarray(np.diag([-1.0, -1.0, 1.0]), jnp.float32)))
     assert abs(got - np.pi) < 1e-5
+
+
+def test_solver_float64_fallback():
+    """SURVEY §7 design stance: f32 default, f64 fallback for conditioning
+    experiments (the reference computes in double throughout, e.g.
+    quatro.hpp:307). The solver is dtype-polymorphic — f64 inputs under
+    x64 give an f64 solve. Run in a subprocess so the global x64 switch
+    cannot leak into other tests' jit caches."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        "import numpy as np, jax.numpy as jnp\n"
+        "from quatro_tpu.config import SolverConfig\n"
+        "from quatro_tpu.io.synthetic import make_correspondences\n"
+        "from quatro_tpu.solver import register_correspondences\n"
+        "src, tgt, gt, _ = make_correspondences(seed=9, n_inliers=40,\n"
+        "    n_outliers=200, yaw_deg=33.0, translation=(2, -1, 0.3))\n"
+        "sol = register_correspondences(jnp.asarray(src, jnp.float64),\n"
+        "    jnp.asarray(tgt, jnp.float64), jnp.ones(src.shape[0], bool),\n"
+        "    SolverConfig())\n"
+        "assert sol.rotation.dtype == jnp.float64, sol.rotation.dtype\n"
+        "assert bool(sol.valid)\n"
+        "T = np.asarray(sol.transform())\n"
+        "yaw = np.rad2deg(np.arctan2(T[1, 0], T[0, 0]))\n"
+        "assert abs(yaw - 33.0) < 0.5 and np.allclose(\n"
+        "    T[:3, 3], [2, -1, 0.3], atol=0.1), (yaw, T[:3, 3])\n"
+        "print('f64 OK')\n")
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "f64 OK" in out.stdout
