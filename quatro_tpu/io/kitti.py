@@ -18,13 +18,24 @@ except Exception:  # pragma: no cover - native ext not built
     _native_load = None
 
 
+_native_broken = False
+
+
 def load_kitti_bin(path: str, with_intensity: bool = False) -> np.ndarray:
     """Load a KITTI .bin scan -> (N, 3) or (N, 4) float32 array."""
+    global _native_broken
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    if _native_load is not None:
-        arr = _native_load(path)
-    else:
+    arr = None
+    if _native_load is not None and not _native_broken:
+        try:
+            arr = _native_load(path)
+        except (OSError, RuntimeError):
+            # The native module imports lazily: the .so build/load is
+            # deferred to first call, so a missing toolchain surfaces HERE,
+            # not at import — fall back to numpy and stop retrying.
+            _native_broken = True
+    if arr is None:
         arr = np.fromfile(path, dtype=np.float32)
         arr = arr[: (arr.size // 4) * 4].reshape(-1, 4)
     return arr if with_intensity else arr[:, :3]

@@ -48,7 +48,12 @@ def load_pcd(path: str) -> np.ndarray:
         types = header.get("TYPE", " ".join(["F"] * len(fields))).split()
         counts = [int(c) for c in header.get(
             "COUNT", " ".join(["1"] * len(fields))).split()]
-        n = int(header.get("POINTS", header.get("WIDTH", "0")))
+        # POINTS is optional in the v0.7 spec; organized clouds carry the
+        # count as WIDTH x HEIGHT.
+        if "POINTS" in header:
+            n = int(header["POINTS"])
+        else:
+            n = int(header.get("WIDTH", "0")) * int(header.get("HEIGHT", "1"))
         data = header["DATA"].split()[0].lower()
 
         if data == "ascii":

@@ -29,7 +29,7 @@ import jax
 
 _COLLECTIVE_RE = re.compile(
     r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
-    r"all-to-all|collective-broadcast)\b")
+    r"all-to-all|collective-broadcast)(-start|-done)?\b")
 
 
 def collective_profile(fn, *args, static_argnums=()) -> Counter:
@@ -37,8 +37,12 @@ def collective_profile(fn, *args, static_argnums=()) -> Counter:
 
     Returns a Counter keyed by HLO op name ('all-reduce', ...). Counts are
     static occurrences in the compiled module (an op inside a while-loop
-    body counts once, regardless of trip count).
+    body counts once, regardless of trip count). Async collectives are
+    counted once per logical op: XLA emits them as a start/done pair, so
+    the '-done' half is skipped.
     """
     compiled = jax.jit(fn, static_argnums=static_argnums).lower(
         *args).compile()
-    return Counter(_COLLECTIVE_RE.findall(compiled.as_text()))
+    return Counter(op for op, suffix
+                   in _COLLECTIVE_RE.findall(compiled.as_text())
+                   if suffix != "-done")

@@ -19,7 +19,8 @@ from jax import shard_map
 from quatro_tpu.config import PipelineConfig, SolverConfig
 from quatro_tpu.parallel.mesh import PAIRS_AXIS
 from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
-                                           optimize_pose_graph)
+                                           optimize_pose_graph,
+                                           solution_to_edge)
 from quatro_tpu.solver.quatro import register_correspondences
 
 
@@ -48,18 +49,21 @@ def make_loop_closing_step(mesh: Mesh, num_poses: int,
     Returned fn signature:
         (src (B,N,3), tgt (B,N,3), mask (B,N), edge_i (B,), edge_j (B,),
          poses0 (M,4)) -> (poses (M,4), solutions)
-    with B = edges divisible by mesh size; edge (i, j) means the pair
-    registers scan i onto scan j.
+    with B = edges divisible by mesh size. Edge (i, j) carries the
+    registration of scan j (source) onto scan i (target) — the pose-graph
+    measurement convention (parallel/posegraph.py, sequence.py):
+    t_ij = R(-yaw_i)(t_j - t_i), yaw_ij = yaw_j - yaw_i — so feed
+    src = scan_j's correspondences, tgt = scan_i's.
     """
 
     def local(src, tgt, mask, edge_i, edge_j, poses0):
         sols = jax.vmap(lambda s, t, m: register_correspondences(
             s, t, m, config))(src, tgt, mask)
-        yaw = jnp.arctan2(sols.rotation[:, 1, 0], sols.rotation[:, 0, 0])
+        t_meas, yaw = solution_to_edge(sols.translation, sols.rotation)
         weight = jnp.sum(sols.final_inlier_mask, axis=-1).astype(jnp.float32)
         edges = PoseGraphEdges(
             i=edge_i, j=edge_j,
-            t_meas=sols.translation, yaw_meas=yaw,
+            t_meas=t_meas, yaw_meas=yaw,
             weight=jnp.maximum(weight, 1.0),
             mask=sols.valid)
         poses = optimize_pose_graph(poses0, edges, num_poses,

@@ -28,7 +28,8 @@ from quatro_tpu.config import PipelineConfig
 from quatro_tpu.odometry import (FrameFeatures, OdometryRunner,
                                  load_frame_features, save_frame_features)
 from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
-                                           optimize_pose_graph, wrap_angle)
+                                           optimize_pose_graph,
+                                           solution_to_edge, wrap_angle)
 from quatro_tpu.types import PointBatch
 
 
@@ -85,8 +86,14 @@ def run_sequence(scans: Sequence[PointBatch],
     runner = OdometryRunner(config)
     m = len(scans)
 
+    # Checkpoints are salted with the config: resuming a run whose
+    # parameters changed must re-extract / re-register, not silently mix
+    # stale data (same pattern as io/synthetic's scan cache key).
+    import hashlib
+    fp = hashlib.sha1(repr(config).encode()).hexdigest()[:10]
+
     def _feat_path(k: int) -> str:
-        return os.path.join(checkpoint_dir, f"feat_{k:05d}.npz")
+        return os.path.join(checkpoint_dir, f"feat_{fp}_{k:05d}.npz")
 
     feats: List[FrameFeatures] = []
     for k, s in enumerate(scans):
@@ -117,9 +124,10 @@ def run_sequence(scans: Sequence[PointBatch],
                   if checkpoint_dir else None)
     if state_path and os.path.exists(state_path):
         st = np.load(state_path)
-        # A checkpoint from a different plan (other scans/candidates) must
-        # not silently resume into the wrong trajectory.
-        if (int(st["m"]) == m and st["plan"].shape[0] == len(plan)
+        # A checkpoint from a different plan (other scans/candidates) or a
+        # different config must not silently resume the wrong trajectory.
+        if ("fingerprint" in st.files and str(st["fingerprint"]) == fp
+                and int(st["m"]) == m and st["plan"].shape[0] == len(plan)
                 and np.array_equal(st["plan"], np.asarray(plan))):
             n_done = int(st["n_done"])
             ei = list(st["ei"][:n_done]); ej = list(st["ej"][:n_done])
@@ -130,7 +138,8 @@ def run_sequence(scans: Sequence[PointBatch],
             odo = st["odo"].copy()
 
     def _save_state():
-        np.savez(state_path, m=m, n_done=len(ei), plan=np.asarray(plan),
+        np.savez(state_path, fingerprint=fp,
+                 m=m, n_done=len(ei), plan=np.asarray(plan),
                  ei=np.asarray(ei, np.int32), ej=np.asarray(ej, np.int32),
                  t_meas=np.asarray(t_meas, np.float32).reshape(len(ei), 3),
                  yaw_meas=np.asarray(yaw_meas, np.float32),
@@ -140,9 +149,8 @@ def run_sequence(scans: Sequence[PointBatch],
     def register(i: int, j: int):
         """Edge (i, j): register src=scan_j onto tgt=scan_i."""
         sol = runner.register_pair(feats[j], feats[i])
-        t = np.asarray(sol.translation)
-        rot = np.asarray(sol.rotation)
-        yaw = float(np.arctan2(rot[1, 0], rot[0, 0]))
+        t_j, yaw_j = solution_to_edge(sol.translation, sol.rotation)
+        t, yaw = np.asarray(t_j), float(yaw_j)
         w = float(np.asarray(sol.final_inlier_mask).sum())
         # Gate edges on consensus support: a tiny final-inlier set signals a
         # false registration (the reference has no such gate; its single
