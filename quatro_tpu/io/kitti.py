@@ -18,24 +18,35 @@ except Exception:  # pragma: no cover - native ext not built
     _native_load = None
 
 
-_native_broken = False
+_native_ok: bool | None = None  # tri-state: unknown / usable / unavailable
+
+
+def _native_ready() -> bool:
+    """Probe the native library ONCE (its .so builds lazily, so a missing
+    toolchain surfaces at first call, not at import). Only library-level
+    failure disables the fast path; per-file I/O errors propagate loudly
+    and never poison subsequent loads."""
+    global _native_ok
+    if _native_ok is None:
+        if _native_load is None:
+            _native_ok = False
+        else:
+            from quatro_tpu import native as _native_mod
+            _native_ok = _native_mod.available()
+    return _native_ok
 
 
 def load_kitti_bin(path: str, with_intensity: bool = False) -> np.ndarray:
     """Load a KITTI .bin scan -> (N, 3) or (N, 4) float32 array."""
-    global _native_broken
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    arr = None
-    if _native_load is not None and not _native_broken:
-        try:
-            arr = _native_load(path)
-        except (OSError, RuntimeError):
-            # The native module imports lazily: the .so build/load is
-            # deferred to first call, so a missing toolchain surfaces HERE,
-            # not at import — fall back to numpy and stop retrying.
-            _native_broken = True
-    if arr is None:
+    if os.path.getsize(path) == 0:
+        # Empty scan file: both backends agree it is a 0-point cloud (the
+        # native mmap path cannot map 0 bytes and would raise).
+        arr = np.zeros((0, 4), np.float32)
+    elif _native_ready():
+        arr = _native_load(path)
+    else:
         arr = np.fromfile(path, dtype=np.float32)
         arr = arr[: (arr.size // 4) * 4].reshape(-1, 4)
     return arr if with_intensity else arr[:, :3]

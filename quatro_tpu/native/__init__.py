@@ -65,6 +65,19 @@ def _load():
     return lib
 
 
+def available() -> bool:
+    """True iff the native library is built and loadable.
+
+    Distinguishes "no toolchain / build failed" (permanent: callers should
+    fall back to numpy) from per-file I/O errors (which the loaders raise
+    loudly and must NOT disable the native path)."""
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
 def load_kitti_bin(path: str) -> np.ndarray:
     """mmap-backed KITTI .bin load -> (N, 4) float32 (x, y, z, intensity)."""
     lib = _load()

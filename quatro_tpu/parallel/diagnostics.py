@@ -27,22 +27,26 @@ from collections import Counter
 
 import jax
 
+# Matches an opcode POSITION only: the opcode in HLO text is immediately
+# followed by its '(' operand list. Instruction names echo the opcode but
+# are '%'-prefixed and suffixed ('.1 = ' or ')' as an operand reference),
+# so the negative lookbehind + required '(' exclude them; '-done' halves of
+# async pairs never match (no '-done' alternative), so a start/done pair
+# counts exactly once.
 _COLLECTIVE_RE = re.compile(
-    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|"
-    r"all-to-all|collective-broadcast)(-start|-done)?\b")
+    r"(?<![%\w-])(all-reduce|all-gather|reduce-scatter|collective-permute|"
+    r"all-to-all|collective-broadcast)(?:-start)?\(")
 
 
 def collective_profile(fn, *args, static_argnums=()) -> Counter:
     """Compile ``fn(*args)`` and count collective ops in the optimized HLO.
 
     Returns a Counter keyed by HLO op name ('all-reduce', ...). Counts are
-    static occurrences in the compiled module (an op inside a while-loop
-    body counts once, regardless of trip count). Async collectives are
-    counted once per logical op: XLA emits them as a start/done pair, so
-    the '-done' half is skipped.
+    once per logical op: static occurrences in the compiled module (an op
+    inside a while-loop body counts once, regardless of trip count), with
+    async start/done pairs counted once and name/operand echoes of the
+    opcode in the HLO text ignored.
     """
     compiled = jax.jit(fn, static_argnums=static_argnums).lower(
         *args).compile()
-    return Counter(op for op, suffix
-                   in _COLLECTIVE_RE.findall(compiled.as_text())
-                   if suffix != "-done")
+    return Counter(_COLLECTIVE_RE.findall(compiled.as_text()))

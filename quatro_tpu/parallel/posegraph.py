@@ -14,8 +14,8 @@ across the ('pairs',) mesh axis and the scatter becomes a local segment_sum
 followed by one `psum` (the distributed Schur-style reduction; no
 sparse-matrix assembly anywhere).
 
-State space: poses (M, 4) = (x, y, z, yaw). Gauge freedom is fixed by a
-strong prior on pose 0.
+State space: poses (M, 4) = (x, y, z, yaw). Gauge freedom is fixed by
+projecting pose 0's update out of the CG solve exactly.
 """
 
 from __future__ import annotations
@@ -120,30 +120,40 @@ def _edge_jacobian_transpose_apply(poses, edges: PoseGraphEdges, u,
                                    "psum_axis"))
 def optimize_pose_graph(poses0: jnp.ndarray, edges: PoseGraphEdges,
                         num_poses: int, gn_iters: int = 8,
-                        cg_iters: int = 32, anchor_weight: float = 1e6,
+                        cg_iters: int = 32, damping: float = 1e-3,
                         psum_axis=None) -> jnp.ndarray:
     """Gauss-Newton + matrix-free CG pose-graph solve.
 
     poses0: (M, 4) initial guesses. edges: measurements (maskable). Pose 0
-    is anchored via `anchor_weight`. Pass psum_axis inside shard_map to
-    all-reduce the J^T terms across edge shards.
+    fixes the gauge: its delta is exactly projected out of the CG solve
+    (cleaner conditioning than a large anchor weight). Pass psum_axis
+    inside shard_map to all-reduce the J^T terms across edge shards.
+
+    `damping` is a Levenberg term on the normal equations,
+    (J^T W J + damping I) delta = -J^T W r. Rejected registrations
+    (mask=False) can disconnect the graph — e.g. a failed odometry edge
+    splits the trajectory into a component with no path to the anchor —
+    leaving J^T W J singular along that component's rigid modes. The
+    damping keeps CG positive-definite so unconstrained poses simply STAY
+    at their initialization instead of the whole solve going NaN (one bad
+    edge must not poison the trajectory; cf. the per-pair `valid` masking
+    contract in solver/quatro.py).
     """
     w_edge = jnp.where(edges.mask, edges.weight, 0.0)
-    anchor = jnp.zeros((num_poses, 1)).at[0, 0].set(anchor_weight)
 
     def normal_matvec(poses, v):
-        jv = _edge_jacobian_apply(poses, edges, v)
+        vm = v.at[0].set(0.0)  # gauge: pose 0 frozen exactly
+        jv = _edge_jacobian_apply(poses, edges, vm)
         jtwjv = _edge_jacobian_transpose_apply(
             poses, edges, jv * w_edge[:, None], num_poses, psum_axis)
-        return jtwjv + anchor * v
+        return jtwjv.at[0].set(0.0) + damping * v
 
     def gn_step(_, poses):
         r_t, r_yaw = _edge_residuals(poses, edges)
         r = jnp.concatenate([r_t, r_yaw[:, None]], axis=-1)
-        # The anchor enters only the matvec: it constrains delta[0] ~= 0,
-        # freezing pose 0 at its initial value (gauge fix).
         b = -_edge_jacobian_transpose_apply(
             poses, edges, r * w_edge[:, None], num_poses, psum_axis)
+        b = b.at[0].set(0.0)  # delta[0] = 0: b0 = 0 and A row 0 = damping*I
 
         def cg_body(_, state):
             x, rr, p, rs = state

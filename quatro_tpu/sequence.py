@@ -44,6 +44,33 @@ class SequenceResult:
     wall_s: float
 
 
+def _feature_fingerprint(config: PipelineConfig) -> str:
+    """Salt for cached per-frame features: exactly the inputs of
+    ``OdometryRunner.extract`` (preprocess + extract_features). Solver / ICP
+    / matcher-only knobs are deliberately excluded so flipping them does not
+    discard hours of extraction work."""
+    import hashlib
+    f = config.fpfh
+    key = (config.lidar, config.patchwork, config.projection,
+           f.normal_radius, f.fpfh_radius,
+           f.max_neighbors_normal, f.max_neighbors_fpfh,
+           config.ground_segmentation_mode, config.use_subclustering,
+           config.voxel_size, config.max_raw_points,
+           config.max_nonground_points, config.max_segment_points,
+           config.max_voxels)
+    return hashlib.sha1(repr(key).encode()).hexdigest()[:10]
+
+
+def _edge_fingerprint(config: PipelineConfig, min_edge_inliers: int) -> str:
+    """Salt for the edge log: the feature fingerprint (edges are computed
+    from the features) plus everything ``register`` depends on — the
+    matcher, the solver, and the edge-acceptance gate."""
+    import hashlib
+    key = (_feature_fingerprint(config), config.fpfh, config.solver,
+           min_edge_inliers)
+    return hashlib.sha1(repr(key).encode()).hexdigest()[:10]
+
+
 def _compose(pose: np.ndarray, t_rel: np.ndarray, yaw_rel: float):
     """pose_j from pose_i and the edge measurement (see module docstring)."""
     c, s = np.cos(pose[3]), np.sin(pose[3])
@@ -86,14 +113,16 @@ def run_sequence(scans: Sequence[PointBatch],
     runner = OdometryRunner(config)
     m = len(scans)
 
-    # Checkpoints are salted with the config: resuming a run whose
-    # parameters changed must re-extract / re-register, not silently mix
-    # stale data (same pattern as io/synthetic's scan cache key).
-    import hashlib
-    fp = hashlib.sha1(repr(config).encode()).hexdigest()[:10]
+    # Checkpoints are salted with the parameters that produced them, SCOPED
+    # to what each artifact actually depends on: resuming with changed
+    # parameters must re-compute exactly the stale artifacts — features only
+    # re-extract when an extraction knob changed, and the edge log only
+    # re-registers when a registration/gating knob (or the features) changed.
+    feat_fp = _feature_fingerprint(config)
+    edge_fp = _edge_fingerprint(config, min_edge_inliers)
 
     def _feat_path(k: int) -> str:
-        return os.path.join(checkpoint_dir, f"feat_{fp}_{k:05d}.npz")
+        return os.path.join(checkpoint_dir, f"feat_{feat_fp}_{k:05d}.npz")
 
     feats: List[FrameFeatures] = []
     for k, s in enumerate(scans):
@@ -124,9 +153,10 @@ def run_sequence(scans: Sequence[PointBatch],
                   if checkpoint_dir else None)
     if state_path and os.path.exists(state_path):
         st = np.load(state_path)
-        # A checkpoint from a different plan (other scans/candidates) or a
-        # different config must not silently resume the wrong trajectory.
-        if ("fingerprint" in st.files and str(st["fingerprint"]) == fp
+        # A checkpoint from a different plan (other scans/candidates), a
+        # different config, or a different edge gate must not silently
+        # resume the wrong trajectory or mix two gating policies.
+        if ("fingerprint" in st.files and str(st["fingerprint"]) == edge_fp
                 and int(st["m"]) == m and st["plan"].shape[0] == len(plan)
                 and np.array_equal(st["plan"], np.asarray(plan))):
             n_done = int(st["n_done"])
@@ -138,7 +168,7 @@ def run_sequence(scans: Sequence[PointBatch],
             odo = st["odo"].copy()
 
     def _save_state():
-        np.savez(state_path, fingerprint=fp,
+        np.savez(state_path, fingerprint=edge_fp,
                  m=m, n_done=len(ei), plan=np.asarray(plan),
                  ei=np.asarray(ei, np.int32), ej=np.asarray(ej, np.int32),
                  t_meas=np.asarray(t_meas, np.float32).reshape(len(ei), 3),

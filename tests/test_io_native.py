@@ -35,6 +35,37 @@ def test_native_loader_matches_numpy(tmp_path, rng):
     np.testing.assert_allclose(got[:, :3], xyz, atol=0)
 
 
+def test_kitti_empty_file_and_per_file_errors(tmp_path, rng):
+    """An empty .bin is a 0-point cloud on both backends; a per-file load
+    failure raises loudly and must NOT disable the native fast path for
+    subsequent good files (only a missing toolchain does)."""
+    import quatro_tpu.io.kitti as kitti
+
+    empty = str(tmp_path / "empty.bin")
+    open(empty, "wb").close()
+    assert load_kitti_bin(empty).shape == (0, 3)
+    assert load_kitti_bin(empty, with_intensity=True).shape == (0, 4)
+
+    # A directory exists and is non-empty by size but cannot be loaded:
+    # both the native mmap and np.fromfile raise.
+    with pytest.raises((IOError, OSError)):
+        load_kitti_bin(str(tmp_path))
+
+    # The failure above must not have poisoned the loader.
+    xyz = rng.normal(size=(64, 3)).astype(np.float32)
+    good = str(tmp_path / "good.bin")
+    save_kitti_bin(good, xyz)
+    np.testing.assert_allclose(load_kitti_bin(good), xyz, atol=0)
+    try:
+        from quatro_tpu import native
+        native_works = native.available()
+    except Exception:
+        native_works = False
+    if native_works:
+        assert kitti._native_ready(), \
+            "per-file error wrongly disabled the native path"
+
+
 def test_native_pack_batch(rng):
     native = pytest.importorskip("quatro_tpu.native")
     try:

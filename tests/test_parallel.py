@@ -144,6 +144,39 @@ def test_loop_closing_step_end_to_end():
     assert err.max() < 0.25, f"pose errors {err}"
 
 
+def test_pose_graph_survives_disconnection():
+    """A rejected edge can split the trajectory into a component with no
+    path to the anchor; the GN normal equations are then singular along
+    that component's rigid modes. The solve must stay finite and leave
+    unconstrained poses at their initialization — one bad registration
+    must not poison the whole trajectory."""
+    m = 5
+    init = np.array([[0, 0, 0, 0],
+                     [1.0, 0, 0, 0],
+                     [2.0, 0.3, 0, 0],
+                     [3.0, 0.3, 0, 0],
+                     [4.0, 0.3, 0, 0.2]], np.float32)
+    # Chain 0-1-2-3-4, but edge (1,2) is masked out: poses {2,3,4} float.
+    ei = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    ej = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    t = jnp.asarray([[1, 0, 0], [1, 0, 0], [1, 0, 0], [1, 0, 0]],
+                    jnp.float32)
+    edges = PoseGraphEdges(
+        i=ei, j=ej, t_meas=t, yaw_meas=jnp.zeros(4),
+        weight=jnp.full(4, 30.0),
+        mask=jnp.asarray([True, False, True, True]))
+    out = np.asarray(optimize_pose_graph(jnp.asarray(init), edges, m,
+                                         gn_iters=8, cg_iters=32))
+    assert np.isfinite(out).all(), out
+    # Anchored component converges to its measurements...
+    np.testing.assert_allclose(out[1], [1, 0, 0, 0], atol=1e-3)
+    # ...while the floating component keeps its internal shape from the
+    # valid (2,3) and (3,4) edges without drifting to NaN/infinity.
+    np.testing.assert_allclose(out[3, :3] - out[2, :3], [1, 0, 0],
+                               atol=0.06)
+    assert np.linalg.norm(out[2] - init[2]) < 1.0
+
+
 def test_communication_profile_is_pinned():
     """Registration must compile to ZERO collectives (embarrassingly
     parallel over the pairs axis); loop closing must reduce with
@@ -172,3 +205,26 @@ def test_communication_profile_is_pinned():
     loop_profile = collective_profile(step, src, tgt, mask, ei, ej, gt)
     assert set(loop_profile) <= {"all-reduce"}, loop_profile
     assert loop_profile["all-reduce"] >= 1
+
+
+def test_collective_profile_counts_once_per_op():
+    """The counter must report logical ops: HLO text echoes an opcode in
+    the instruction name, async start/done halves, and operand references —
+    none of those may inflate the count."""
+    from collections import Counter
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from quatro_tpu.parallel.diagnostics import collective_profile
+    from quatro_tpu.parallel.mesh import PAIRS_AXIS
+
+    mesh = make_pairs_mesh()
+    n = len(mesh.devices.flat)
+
+    def one_psum(x):
+        return shard_map(lambda v: jax.lax.psum(v, PAIRS_AXIS), mesh=mesh,
+                         in_specs=P(PAIRS_AXIS), out_specs=P())(x)
+
+    x = jnp.arange(4.0 * n).reshape(n, 4)
+    assert collective_profile(one_psum, x) == Counter({"all-reduce": 1})

@@ -82,6 +82,26 @@ def test_sequence_checkpoint_resume(tmp_path, monkeypatch):
     assert res2.edges_total < res.edges_total
 
 
+def test_checkpoint_fingerprints_are_scoped():
+    """Feature caches survive solver-only changes (no wasted re-extraction)
+    but are invalidated by extraction changes; the edge log is additionally
+    invalidated by solver or gating changes (no mixed gating policies)."""
+    from quatro_tpu.config import SolverConfig, replace
+    from quatro_tpu.sequence import _edge_fingerprint, _feature_fingerprint
+
+    base = PipelineConfig()
+    solver_changed = replace(base, solver=SolverConfig(noise_bound=0.5))
+    extract_changed = replace(base, voxel_size=0.4)
+
+    assert _feature_fingerprint(base) == _feature_fingerprint(solver_changed)
+    assert _feature_fingerprint(base) != _feature_fingerprint(extract_changed)
+
+    assert _edge_fingerprint(base, 5) != _edge_fingerprint(solver_changed, 5)
+    assert _edge_fingerprint(base, 5) != _edge_fingerprint(extract_changed, 5)
+    assert _edge_fingerprint(base, 5) != _edge_fingerprint(base, 50)
+    assert _edge_fingerprint(base, 5) == _edge_fingerprint(base, 5)
+
+
 @pytest.mark.slow
 def test_run_odometry_files_streams(tmp_path):
     from quatro_tpu.io.kitti import save_kitti_bin
