@@ -40,6 +40,13 @@ def _build_config(args):
             max_voxels=args.max_voxels, icp=icp, ground_alignment=ground,
             fpfh=dataclasses.replace(
                 cfg.fpfh, max_correspondences=args.max_correspondences))
+    if getattr(args, "auto_radii", False):
+        fpfh = FPFHConfig.for_lidar(LidarConfig.preset(args.lidar_type),
+                                    max_correspondences=args.max_correspondences)
+    else:
+        fpfh = FPFHConfig(normal_radius=args.normal_radius,
+                          fpfh_radius=args.fpfh_radius,
+                          max_correspondences=args.max_correspondences)
     return PipelineConfig(
         icp=icp,
         ground_alignment=ground,
@@ -48,9 +55,7 @@ def _build_config(args):
         use_subclustering=not getattr(args, "no_subclustering", False),
         voxel_size=args.voxel_size,
         max_voxels=args.max_voxels,
-        fpfh=FPFHConfig(normal_radius=args.normal_radius,
-                        fpfh_radius=args.fpfh_radius,
-                        max_correspondences=args.max_correspondences),
+        fpfh=fpfh,
         solver=SolverConfig(reg_name=args.reg_type,
                             noise_bound=args.noise_bound,
                             rotation_gnc_factor=args.gnc_factor,
@@ -213,6 +218,10 @@ def main(argv=None) -> int:
     r.add_argument("--voxel-size", type=float, default=0.3)
     r.add_argument("--normal-radius", type=float, default=0.5)
     r.add_argument("--fpfh-radius", type=float, default=0.75)
+    r.add_argument("--auto-radii", action="store_true",
+                   help="scale FPFH radii to the sensor's ring spacing "
+                        "(FPFHConfig.for_lidar) instead of the KITTI "
+                        "defaults — recommended for sparse sensors")
     r.add_argument("--noise-bound", type=float, default=0.3)
     r.add_argument("--gnc-factor", type=float, default=1.4)
     r.add_argument("--num-max-iter", type=int, default=50)

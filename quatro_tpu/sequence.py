@@ -30,6 +30,7 @@ from quatro_tpu.odometry import (FrameFeatures, OdometryRunner,
 from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
                                            optimize_pose_graph,
                                            solution_to_edge, wrap_angle)
+from quatro_tpu.solver.verify import alignment_overlap
 from quatro_tpu.types import PointBatch
 
 
@@ -61,13 +62,14 @@ def _feature_fingerprint(config: PipelineConfig) -> str:
     return hashlib.sha1(repr(key).encode()).hexdigest()[:10]
 
 
-def _edge_fingerprint(config: PipelineConfig, min_edge_inliers: int) -> str:
+def _edge_fingerprint(config: PipelineConfig, min_edge_inliers: int,
+                      min_edge_overlap: float) -> str:
     """Salt for the edge log: the feature fingerprint (edges are computed
     from the features) plus everything ``register`` depends on — the
-    matcher, the solver, and the edge-acceptance gate."""
+    matcher, the solver, and the edge-acceptance gates."""
     import hashlib
     key = (_feature_fingerprint(config), config.fpfh, config.solver,
-           min_edge_inliers)
+           min_edge_inliers, min_edge_overlap)
     return hashlib.sha1(repr(key).encode()).hexdigest()[:10]
 
 
@@ -91,7 +93,8 @@ def run_sequence(scans: Sequence[PointBatch],
                  loop_candidates: Optional[List[Tuple[int, int]]] = None,
                  gt_poses: Optional[np.ndarray] = None,
                  loop_radius: float = 10.0, min_gap: int = 3,
-                 min_edge_inliers: int = 5,
+                 min_edge_inliers: int = 2,
+                 min_edge_overlap: float = 0.35,
                  gn_iters: int = 10, cg_iters: int = 40,
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every: int = 8) -> SequenceResult:
@@ -108,6 +111,13 @@ def run_sequence(scans: Sequence[PointBatch],
     cached features, skips every registered edge, and continues from the
     first unregistered one; a killed trajectory job loses at most
     ``checkpoint_every`` edges of device work.
+
+    Edge acceptance: an edge enters the pose graph iff the solver reports
+    valid AND the final inlier count >= ``min_edge_inliers`` AND (when
+    ``min_edge_overlap`` > 0) the alignment-overlap verification passes
+    (solver/verify.py — the geometric check; the inlier floor stays low
+    because Quatro is routinely CORRECT from <5 inliers on wide-baseline
+    pairs). Set ``min_edge_overlap=0`` to gate on inlier count alone.
     """
     t0 = time.time()
     runner = OdometryRunner(config)
@@ -119,7 +129,7 @@ def run_sequence(scans: Sequence[PointBatch],
     # re-extract when an extraction knob changed, and the edge log only
     # re-registers when a registration/gating knob (or the features) changed.
     feat_fp = _feature_fingerprint(config)
-    edge_fp = _edge_fingerprint(config, min_edge_inliers)
+    edge_fp = _edge_fingerprint(config, min_edge_inliers, min_edge_overlap)
 
     def _feat_path(k: int) -> str:
         return os.path.join(checkpoint_dir, f"feat_{feat_fp}_{k:05d}.npz")
@@ -182,10 +192,17 @@ def run_sequence(scans: Sequence[PointBatch],
         t_j, yaw_j = solution_to_edge(sol.translation, sol.rotation)
         t, yaw = np.asarray(t_j), float(yaw_j)
         w = float(np.asarray(sol.final_inlier_mask).sum())
-        # Gate edges on consensus support: a tiny final-inlier set signals a
-        # false registration (the reference has no such gate; its single
-        # pair is hand-picked).
         ok = bool(sol.valid) and w >= min_edge_inliers
+        if ok and min_edge_overlap > 0:
+            # Geometric verification: correct poses score high overlap even
+            # when the inlier count is tiny; confidently-wrong poses from
+            # symmetric/low-overlap pairs score near zero (solver/verify.py).
+            ov = float(alignment_overlap(
+                feats[j].voxels, feats[j].voxel_mask,
+                feats[i].voxels, feats[i].voxel_mask,
+                sol.rotation, sol.translation,
+                radius=2.0 * config.voxel_size))
+            ok = ov >= min_edge_overlap
         return ok, t, yaw, max(w, 1.0)
 
     for idx in range(n_done, len(plan)):

@@ -4,10 +4,11 @@ from quatro_tpu.solver.translation import solve_translation
 from quatro_tpu.solver.rotation import gnc_rotation_2d, gnc_rotation_3d
 from quatro_tpu.solver.ground import (align_ground, compose_leveled_solution,
                                       fit_ground_plane, leveling_rotation)
+from quatro_tpu.solver.verify import alignment_overlap
 
 __all__ = [
     "register_correspondences", "register_batch", "tim_consistency_graph",
     "pairwise_distances", "solve_translation", "gnc_rotation_2d",
     "gnc_rotation_3d", "align_ground", "compose_leveled_solution",
-    "fit_ground_plane", "leveling_rotation",
+    "fit_ground_plane", "leveling_rotation", "alignment_overlap",
 ]

@@ -96,10 +96,13 @@ def test_checkpoint_fingerprints_are_scoped():
     assert _feature_fingerprint(base) == _feature_fingerprint(solver_changed)
     assert _feature_fingerprint(base) != _feature_fingerprint(extract_changed)
 
-    assert _edge_fingerprint(base, 5) != _edge_fingerprint(solver_changed, 5)
-    assert _edge_fingerprint(base, 5) != _edge_fingerprint(extract_changed, 5)
-    assert _edge_fingerprint(base, 5) != _edge_fingerprint(base, 50)
-    assert _edge_fingerprint(base, 5) == _edge_fingerprint(base, 5)
+    assert _edge_fingerprint(base, 5, 0.35) != \
+        _edge_fingerprint(solver_changed, 5, 0.35)
+    assert _edge_fingerprint(base, 5, 0.35) != \
+        _edge_fingerprint(extract_changed, 5, 0.35)
+    assert _edge_fingerprint(base, 5, 0.35) != _edge_fingerprint(base, 50, 0.35)
+    assert _edge_fingerprint(base, 5, 0.35) != _edge_fingerprint(base, 5, 0.0)
+    assert _edge_fingerprint(base, 5, 0.35) == _edge_fingerprint(base, 5, 0.35)
 
 
 @pytest.mark.slow
