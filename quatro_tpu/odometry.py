@@ -27,6 +27,7 @@ from quatro_tpu.config import PipelineConfig
 from quatro_tpu.ops.matching import match_features
 from quatro_tpu.pipeline import extract_features, preprocess
 from quatro_tpu.solver.quatro import register_correspondences
+from quatro_tpu.solver.verify import alignment_overlap
 from quatro_tpu.types import PointBatch, RegistrationSolution
 
 
@@ -48,6 +49,7 @@ class OdometryRunner:
         self._prev: Optional[FrameFeatures] = None
         self._extract = jax.jit(self._extract_impl)
         self._register = jax.jit(self._register_impl)
+        self._register_batch = jax.jit(jax.vmap(self._register_verify_impl))
 
     def _extract_impl(self, points, mask):
         seg, _ = preprocess(points, mask, self.config)
@@ -65,6 +67,14 @@ class OdometryRunner:
         sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
                                        self.config.solver)
         return sol, corr
+
+    def _register_verify_impl(self, src: FrameFeatures, tgt: FrameFeatures):
+        sol, _ = self._register_impl(src, tgt)
+        overlap = alignment_overlap(
+            src.voxels, src.voxel_mask, tgt.voxels, tgt.voxel_mask,
+            sol.rotation, sol.translation,
+            radius=2.0 * self.config.voxel_size)
+        return sol, overlap
 
     def extract(self, scan: PointBatch) -> FrameFeatures:
         v, vm, d, dm = self._extract(scan.points, scan.mask)
@@ -85,6 +95,16 @@ class OdometryRunner:
                       tgt: FrameFeatures) -> RegistrationSolution:
         sol, _ = self._register(src, tgt)
         return sol
+
+    def register_pairs(self, src: FrameFeatures, tgt: FrameFeatures
+                       ) -> Tuple[RegistrationSolution, jnp.ndarray]:
+        """Batched pair registration + overlap verification in ONE jitted
+        vmap dispatch: every leaf of src/tgt carries a leading batch axis.
+        Returns (solutions, overlaps (B,)); overlap is the geometric
+        acceptance score of solver/verify.py. Single-pair solves are
+        dispatch-bound (~1.4 ms each on chip), so trajectory edge plans
+        should go through here 16+ at a time."""
+        return self._register_batch(src, tgt)
 
     def reset(self):
         self._prev = None

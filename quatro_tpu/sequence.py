@@ -30,7 +30,6 @@ from quatro_tpu.odometry import (FrameFeatures, OdometryRunner,
 from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
                                            optimize_pose_graph,
                                            solution_to_edge, wrap_angle)
-from quatro_tpu.solver.verify import alignment_overlap
 from quatro_tpu.types import PointBatch
 
 
@@ -97,7 +96,8 @@ def run_sequence(scans: Sequence[PointBatch],
                  min_edge_overlap: float = 0.35,
                  gn_iters: int = 10, cg_iters: int = 40,
                  checkpoint_dir: Optional[str] = None,
-                 checkpoint_every: int = 8) -> SequenceResult:
+                 checkpoint_every: int = 8,
+                 batch_size: int = 16) -> SequenceResult:
     """Register a scan sequence and close its loops.
 
     loop_candidates: (i, j) index pairs to attempt as closures; if None and
@@ -186,34 +186,41 @@ def run_sequence(scans: Sequence[PointBatch],
                  weights=np.asarray(weights, np.float32),
                  emask=np.asarray(emask, bool), odo=odo)
 
-    def register(i: int, j: int):
-        """Edge (i, j): register src=scan_j onto tgt=scan_i."""
-        sol = runner.register_pair(feats[j], feats[i])
-        t_j, yaw_j = solution_to_edge(sol.translation, sol.rotation)
-        t, yaw = np.asarray(t_j), float(yaw_j)
-        w = float(np.asarray(sol.final_inlier_mask).sum())
-        ok = bool(sol.valid) and w >= min_edge_inliers
-        if ok and min_edge_overlap > 0:
-            # Geometric verification: correct poses score high overlap even
-            # when the inlier count is tiny; confidently-wrong poses from
-            # symmetric/low-overlap pairs score near zero (solver/verify.py).
-            ov = float(alignment_overlap(
-                feats[j].voxels, feats[j].voxel_mask,
-                feats[i].voxels, feats[i].voxel_mask,
-                sol.rotation, sol.translation,
-                radius=2.0 * config.voxel_size))
-            ok = ov >= min_edge_overlap
-        return ok, t, yaw, max(w, 1.0)
+    def _stack(fs: List) -> "FrameFeatures":
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *fs)
 
-    for idx in range(n_done, len(plan)):
-        i, j = plan[idx]
-        ok, t, yaw, w = register(i, j)
-        ei.append(i); ej.append(j)
-        t_meas.append(t); yaw_meas.append(yaw)
-        weights.append(w); emask.append(ok)
-        if j == i + 1 and idx < m - 1:  # odometry edge: integrate
-            odo[j] = _compose(odo[i], t, yaw) if ok else odo[i]
-        if state_path and (idx + 1) % checkpoint_every == 0:
+    # Edges register `batch_size` at a time through ONE jit(vmap) program
+    # (registration + overlap verification fused): single-pair solves are
+    # dispatch-bound on chip, so this is the trajectory throughput path.
+    # The final partial chunk pads by repeating its last edge.
+    for start in range(n_done, len(plan), batch_size):
+        chunk = plan[start:start + batch_size]
+        padded = list(chunk) + [chunk[-1]] * (batch_size - len(chunk))
+        # Edge (i, j): register src=scan_j onto tgt=scan_i.
+        sols, overlaps = runner.register_pairs(
+            _stack([feats[j] for _, j in padded]),
+            _stack([feats[i] for i, _ in padded]))
+        t_all, yaw_all = solution_to_edge(sols.translation, sols.rotation)
+        t_all = np.asarray(t_all)
+        yaw_all = np.asarray(yaw_all)
+        valid = np.asarray(sols.valid)
+        counts = np.asarray(sols.final_inlier_mask.sum(axis=-1), np.float32)
+        overlaps = np.asarray(overlaps)
+        for k, (i, j) in enumerate(chunk):
+            ok = bool(valid[k]) and counts[k] >= min_edge_inliers
+            if ok and min_edge_overlap > 0:
+                # Geometric verification: correct poses score high overlap
+                # even when the inlier count is tiny; confidently-wrong
+                # poses score near zero (solver/verify.py).
+                ok = overlaps[k] >= min_edge_overlap
+            ei.append(i); ej.append(j)
+            t_meas.append(t_all[k]); yaw_meas.append(float(yaw_all[k]))
+            weights.append(max(float(counts[k]), 1.0)); emask.append(ok)
+            if j == i + 1 and start + k < m - 1:  # odometry edge: integrate
+                odo[j] = _compose(odo[i], t_all[k], yaw_all[k]) if ok \
+                    else odo[i]
+        if state_path and (len(ei) // checkpoint_every
+                           > (len(ei) - len(chunk)) // checkpoint_every):
             _save_state()
     if state_path:
         _save_state()

@@ -40,19 +40,21 @@ def test_sequence_checkpoint_resume(tmp_path, monkeypatch):
     ckpt = str(tmp_path / "ckpt")
     kwargs = dict(gt_poses=gt, loop_radius=5.0, checkpoint_every=2)
 
+    kwargs["batch_size"] = 2  # edges register 2 per device dispatch here
+
     calls = {"n": 0}
-    orig = OdometryRunner.register_pair
+    orig = OdometryRunner.register_pairs
 
     def dying_register(self, src, tgt):
         calls["n"] += 1
-        if calls["n"] > 4:
+        if calls["n"] > 2:  # die after 2 batches = 4 edges
             raise KeyboardInterrupt("simulated kill")
         return orig(self, src, tgt)
 
-    monkeypatch.setattr(OdometryRunner, "register_pair", dying_register)
+    monkeypatch.setattr(OdometryRunner, "register_pairs", dying_register)
     with pytest.raises(KeyboardInterrupt):
         run_sequence(scans, cfg, checkpoint_dir=ckpt, **kwargs)
-    monkeypatch.setattr(OdometryRunner, "register_pair", orig)
+    monkeypatch.setattr(OdometryRunner, "register_pairs", orig)
 
     # resume: features come from disk, the 4 checkpointed edges are skipped
     calls_resume = {"n": 0}
@@ -64,12 +66,12 @@ def test_sequence_checkpoint_resume(tmp_path, monkeypatch):
 
     monkeypatch.setattr(OdometryRunner, "extract",
                         lambda self, s: pytest.fail("re-extracted features"))
-    monkeypatch.setattr(OdometryRunner, "register_pair", counting_register)
+    monkeypatch.setattr(OdometryRunner, "register_pairs", counting_register)
     res = run_sequence(scans, cfg, checkpoint_dir=ckpt, **kwargs)
-    monkeypatch.setattr(OdometryRunner, "register_pair", orig)
+    monkeypatch.setattr(OdometryRunner, "register_pairs", orig)
     monkeypatch.setattr(OdometryRunner, "extract", orig_extract)
 
-    assert calls_resume["n"] == res.edges_total - 4
+    assert calls_resume["n"] == -(-(res.edges_total - 4) // 2)
 
     # and the resumed result equals a fresh un-checkpointed run
     fresh = run_sequence(scans, cfg, **kwargs)
