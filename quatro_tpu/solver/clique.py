@@ -148,9 +148,15 @@ def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
         sel = mask
     else:
         max_core, kcore_mask = max_kcore(adj, mask)
+        # An edgeless graph's largest non-empty core is the 0-core = every
+        # vertex — but zero edges means NO mutually consistent pair exists,
+        # so the k-core answer must be empty, not everything (otherwise a
+        # garbage solve sails through as valid=True where the reference
+        # aborts, include/quatro.hpp:809-813).
+        kcore_sel = kcore_mask & mask & (max_core >= 1)
         if mode == "kcore":
             # reference: src/graph.cc:67-82 — keep vertices of max core.
-            sel = kcore_mask & mask
+            sel = kcore_sel
         else:
             deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
             seed_scores = kcore_mask.astype(jnp.float32) * 1e6 + deg
@@ -163,8 +169,9 @@ def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
             # threshold=1 -> always clique, 0 -> always k-core, as the
             # reference documents (include/quatro.hpp:249-259).
             n_valid = jnp.sum(mask).astype(jnp.float32)
-            use_kcore = max_core.astype(jnp.float32) >= (kcore_threshold
-                                                         * n_valid)
-            sel = jnp.where(use_kcore, kcore_mask & mask, clique_sel)
+            use_kcore = jnp.logical_and(
+                max_core >= 1,
+                max_core.astype(jnp.float32) >= kcore_threshold * n_valid)
+            sel = jnp.where(use_kcore, kcore_sel, clique_sel)
     valid = jnp.sum(sel) > 1
     return sel, valid

@@ -148,7 +148,17 @@ def compose_leveled_solution(rotation: jnp.ndarray, translation: jnp.ndarray,
     """
     tz = translation[..., 2]
     if use_ground_z:
-        tz = jnp.where(ga.valid, ga.tgt_height - ga.src_height, tz)
+        # The closed-form height difference equals t'_z only when the
+        # leveled solve is quasi-SO(3): a full-SO(3) R' with residual
+        # roll/pitch re-tilts the leveled source ground plane, and the
+        # override would inject a bias ~ residual tilt x scene offset.
+        # Gate on R' keeping e_z (true by construction for yaw-only
+        # solves; excludes tilted TEASER-mode results).
+        r22 = rotation[..., 2, 2]
+        yaw_like = r22 >= jnp.cos(jnp.deg2rad(
+            jnp.asarray(1.0, r22.dtype)))
+        tz = jnp.where(ga.valid & yaw_like,
+                       ga.tgt_height - ga.src_height, tz)
     t_leveled = jnp.stack([translation[..., 0], translation[..., 1], tz],
                           axis=-1)
     hi = jax.lax.Precision.HIGHEST

@@ -17,10 +17,12 @@ Design (TPU-first, no kd-trees, no dynamic shapes):
 - objective: Huber-weighted point-to-plane; each Gauss-Newton step builds
   the 6x6 normal equations with two small matmuls and solves them with a
   damped `jnp.linalg.solve` — the only linear algebra in the loop.
-- update: left-multiplicative `exp_so3(dw) @ R`; fixed iteration count via
-  `lax.scan` (shape-static, vmap/pjit-friendly). A `yaw_only` mode zeroes
-  the roll/pitch components of the update, keeping the quasi-SO(3)
-  contract of the Quatro solver under severe ground sparsity.
+- update: left-multiplicative `exp_so3(dw)` applied to the whole transform
+  (rotation AND translation — the Jacobian linearizes about p = R src + t);
+  fixed iteration count via `lax.scan` (shape-static, vmap/pjit-friendly).
+  A `yaw_only` mode solves the CONSTRAINED normal equations (roll/pitch
+  rows/cols decoupled before the solve), keeping the quasi-SO(3) contract
+  of the Quatro solver under severe ground sparsity.
 - failure masking: steps with fewer than `min_correspondences` matches
   leave the pose untouched; an invalid coarse solution passes through
   unchanged, so a failed pair still cannot poison a batch.
@@ -35,7 +37,7 @@ import jax.numpy as jnp
 
 from quatro_tpu.config import IcpConfig
 from quatro_tpu.ops.neighbors import pairwise_sq_dists
-from quatro_tpu.utils.se3 import exp_so3
+from quatro_tpu.utils.se3 import exp_so3, rotate_points
 
 
 class IcpResult(NamedTuple):
@@ -90,43 +92,59 @@ def refine_icp(src_points: jnp.ndarray, src_mask: jnp.ndarray,
     dof = jnp.asarray([0.0, 0.0, 1.0, 1.0, 1.0, 1.0] if config.yaw_only
                       else [1.0] * 6, dtype)
 
-    def step(carry, gate):
-        rot, trans = carry
-        p = src_s @ rot.T + trans                                 # (K, 3)
+    def correspond(rot, trans, gate):
+        """Gated point-to-plane residuals at the CURRENT pose."""
+        p = rotate_points(src_s, rot) + trans                     # (K, 3)
         d2 = pairwise_sq_dists(p, tgt_points)                     # (K, V)
         d2 = jnp.where(tgt_ok[None, :], d2, big)
         j = jnp.argmin(d2, axis=1)                                # (K,)
         d2min = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
-        q = tgt_points[j]
-        n = tgt_normals[j]
         ok = smask_s & (d2min <= gate * gate)
-        okf = ok.astype(dtype)
+        r = jnp.sum(tgt_normals[j] * (p - tgt_points[j]), axis=-1)  # (K,)
+        return p, tgt_normals[j], r, ok
 
-        r = jnp.sum(n * (p - q), axis=-1)                         # (K,)
+    def step(carry, gate):
+        rot, trans = carry
+        p, n, r, ok = correspond(rot, trans, gate)
         absr = jnp.abs(r)
         huber = jnp.where(absr <= config.huber_delta, 1.0,
                           config.huber_delta / jnp.maximum(absr, 1e-12))
-        w = okf * huber
+        w = ok.astype(dtype) * huber
 
         a = jnp.concatenate([jnp.cross(p, n), n], axis=-1)        # (K, 6)
         aw = a * w[:, None]
         h = a.T @ aw                                              # (6, 6)
         g = aw.T @ r                                              # (6,)
+        # Constrained GN for yaw_only: decouple disabled DoF (zero their
+        # rows/cols and gradient, unit diagonal) BEFORE solving — solving
+        # the full 6x6 and truncating afterwards would let the disabled
+        # roll/pitch absorb residual reduction and bias the kept DoF.
+        h = h * (dof[:, None] * dof[None, :]) + jnp.diag(1.0 - dof)
+        g = g * dof
         lam = config.damping * (jnp.trace(h) + 1.0)
         delta = -jnp.linalg.solve(h + lam * jnp.eye(6, dtype=dtype), g)
-        delta = delta * dof
 
         n_ok = jnp.sum(ok)
         enough = n_ok >= config.min_correspondences
         delta = jnp.where(enough, delta, jnp.zeros_like(delta))
 
-        rot_new = exp_so3(delta[:3]) @ rot
-        trans_new = trans + delta[3:]
-        sq_err = jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1e-12)
-        return (rot_new, trans_new), (sq_err, n_ok, enough)
+        # The Jacobian linearizes about p = R src + t, so the rotation
+        # increment acts on the WHOLE transform: p' ~ exp(dw) p + dt
+        # = exp(dw) R src + (exp(dw) t + dt).
+        dr = exp_so3(delta[:3])
+        hi = jax.lax.Precision.HIGHEST
+        return (jnp.matmul(dr, rot, precision=hi),
+                jnp.matmul(dr, trans, precision=hi) + delta[3:]), None
 
-    (rot, trans), (sq_errs, n_oks, enoughs) = jax.lax.scan(
+    (rot, trans), _ = jax.lax.scan(
         step, (init_rotation, init_translation), gates)
+
+    # Metrics evaluated at the RETURNED pose (the scan's per-step stats
+    # describe pre-update poses; the last update would go unmeasured).
+    _, _, r_fin, ok_fin = correspond(rot, trans, gates[-1])
+    n_fin = jnp.sum(ok_fin)
+    rmse = jnp.sqrt(jnp.sum(ok_fin * r_fin * r_fin)
+                    / jnp.maximum(n_fin, 1).astype(dtype))
 
     validb = jnp.asarray(valid, bool)
     rot = jnp.where(validb, rot, init_rotation)
@@ -134,7 +152,8 @@ def refine_icp(src_points: jnp.ndarray, src_mask: jnp.ndarray,
     return IcpResult(
         rotation=rot,
         translation=trans,
-        rmse=jnp.sqrt(sq_errs[-1]),
-        num_inliers=n_oks[-1].astype(jnp.int32),
-        converged=jnp.logical_and(validb, enoughs[-1]),
+        rmse=rmse,
+        num_inliers=n_fin.astype(jnp.int32),
+        converged=jnp.logical_and(validb,
+                                  n_fin >= config.min_correspondences),
     )

@@ -32,6 +32,7 @@ from quatro_tpu.solver import clique as clique_mod
 from quatro_tpu.solver import rotation as rot_mod
 from quatro_tpu.solver import translation as trans_mod
 from quatro_tpu.solver.scale import tim_consistency_graph
+from quatro_tpu.utils.se3 import rotate_points
 from quatro_tpu.types import RegistrationSolution
 
 
@@ -101,7 +102,7 @@ def register_correspondences(
         # afterwards (include/quatro.hpp:828-843,419-426), which degrades
         # the yaw estimate and collapses its rotation-inlier count on
         # genuinely tilted platforms; we level first.
-        pruned_src_tims = pruned_src_tims @ prior_ryrx.T
+        pruned_src_tims = rotate_points(pruned_src_tims, prior_ryrx)
 
     # --- GNC-TLS rotation ----------------------------------------------------
     # The reference rescales the rotation noise bound by 2/scale
@@ -123,7 +124,8 @@ def register_correspondences(
             config.rotation_max_iterations, config.rotation_cost_threshold,
             algorithm=config.rotation_estimation_algorithm)
         rotation = gnc.rotation
-    rotation = rotation @ prior_ryrx
+    rotation = jnp.matmul(rotation, prior_ryrx,
+                          precision=jax.lax.Precision.HIGHEST)
 
     # --- rotation-inlier chaining (include/quatro.hpp:860-874) ---------------
     iota = jnp.arange(n)
@@ -152,7 +154,7 @@ def register_correspondences(
     cote_dst = tgt[sel_idx]
 
     cote = trans_mod.solve_translation(
-        (scale * cote_src) @ rotation.T, cote_dst, cote_mask,
+        rotate_points(scale * cote_src, rotation), cote_dst, cote_mask,
         config.noise_bound * config.cote_noise_bound_coeff, config.cbar2,
         use_median=(config.cote_mode == "median"))
 

@@ -23,6 +23,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from quatro_tpu.utils.se3 import rotate_points
+
 
 class GncResult(NamedTuple):
     rotation: jax.Array        # (2,2) or (3,3)
@@ -63,6 +65,16 @@ def svd_rot3d(src: jnp.ndarray, dst: jnp.ndarray,
     det = jnp.linalg.det(u) * jnp.linalg.det(v)
     v = v.at[:, 2].multiply(jnp.where(det < 0, -1.0, 1.0))
     return v @ u.T
+
+
+def _zeros_like_result(solve_rotation, src, dst, maskf, run: bool):
+    """Zero-cost while_loop carry seed shaped like solve_rotation's output
+    (via eval_shape). With run=True (loop body might never execute) the
+    real solve is returned instead so the caller still gets a valid pose."""
+    if run:
+        return solve_rotation(src, dst, maskf)
+    shape = jax.eval_shape(solve_rotation, src, dst, maskf)
+    return jnp.zeros(shape.shape, shape.dtype)
 
 
 def _gnc_tls(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
@@ -121,7 +133,12 @@ def _gnc_tls(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
         prev_cost = jnp.where(degenerate, prev_cost, cost_new)
         return i + 1, rot_param, weights, mu, prev_cost, cost, done
 
-    init_rot = solve_rotation(src, dst, maskf)
+    # The first body iteration recomputes the solve from these same maskf
+    # weights, so seeding the carry with a real solve is dead work XLA
+    # cannot CSE across the loop boundary — a zero placeholder of the
+    # right shape suffices (the body always runs: max_iterations >= 1).
+    init_rot = _zeros_like_result(solve_rotation, src, dst, maskf,
+                                  run=max_iterations < 1)
     init = (jnp.asarray(0, jnp.int32), init_rot, maskf,
             jnp.asarray(1.0, dtype), jnp.asarray(jnp.inf, dtype),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(False))
@@ -162,7 +179,8 @@ def _fgr_gm(src, dst, mask, noise_bound, gnc_factor, max_iterations,
         mu = jnp.maximum(mu / gnc_factor, 1.0)
         return i + 1, rot, new_weights, mu, cost_new, done
 
-    init_rot = solve_rotation(src, dst, maskf)
+    init_rot = _zeros_like_result(solve_rotation, src, dst, maskf,
+                                  run=max_iterations < 1)
     init = (jnp.asarray(0, jnp.int32), init_rot, maskf,
             jnp.asarray(1.0, dtype), jnp.asarray(jnp.inf, dtype),
             jnp.asarray(False))
@@ -186,7 +204,7 @@ def gnc_rotation_2d(src_xy: jnp.ndarray, dst_xy: jnp.ndarray,
         src_xy, dst_xy, mask, noise_bound, gnc_factor, max_iterations,
         cost_threshold,
         solve_rotation=yaw_procrustes,
-        apply_rotation=lambda th, x: x @ rot2d(th).T)
+        apply_rotation=lambda th, x: rotate_points(x, rot2d(th)))
     return GncResult(rot2d(theta), weights, inliers, iters, cost)
 
 
@@ -203,5 +221,5 @@ def gnc_rotation_3d(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
         src, dst, mask, noise_bound, gnc_factor, max_iterations,
         cost_threshold,
         solve_rotation=svd_rot3d,
-        apply_rotation=lambda r, x: x @ r.T)
+        apply_rotation=lambda r, x: rotate_points(x, r))
     return GncResult(rot, weights, inliers, iters, cost)

@@ -16,9 +16,10 @@ within a small radius. Measured on ray-cast fixtures (8-pose loop,
 VLP-16): correct registrations score 0.68-0.81, wrong ones 0.05-0.14 —
 cleanly separable at ~0.3-0.4.
 
-TPU-native: one (V_src, V_tgt) distance computation via an MXU matmul
-(|a|^2 + |b|^2 - 2ab) — the same brute-force-beats-trees tradeoff as the
-feature matcher (ops/matching.py).
+TPU-native: one blocked (V_src, V_tgt) brute-force distance computation —
+the same brute-force-beats-trees tradeoff as the feature matcher
+(ops/matching.py), but difference-first on the VPU rather than a Gram
+matmul (see the precision note on ``alignment_overlap``).
 """
 
 from __future__ import annotations
@@ -27,6 +28,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from quatro_tpu.utils.se3 import rotate_points
 
 
 @partial(jax.jit, static_argnames=("row_block",))
@@ -41,19 +44,28 @@ def alignment_overlap(src: jnp.ndarray, src_mask: jnp.ndarray,
     src (N, 3), tgt (M, 3) with bool masks. Blocked over source rows so the
     (N, M) distance matrix never exceeds (row_block, M) — capacity-sized
     voxel clouds (8k x 8k) stay comfortably in VMEM-friendly tiles.
+
+    Precision: distances are computed DIFFERENCE-FIRST per coordinate
+    (three (row_block, M) planes on the VPU), not via the |a|^2+|b|^2-2ab
+    Gram matmul: at 40-80 m lidar ranges the Gram identity's f32
+    cancellation error reaches ~1e-2 m^2 even at HIGHEST matmul precision
+    (measured on-chip: 16% of exactly-aligned far-field points failed a
+    0.2 m gate), which would corrupt the overlap score near tight radii.
+    The op runs once per edge, so VPU vs MXU throughput is irrelevant.
     """
     n = src.shape[0]
     pad = (-n) % row_block
-    p = src @ rotation.T + translation
+    p = rotate_points(src, rotation) + translation
     p = jnp.pad(p, ((0, pad), (0, 0)))
     pm = jnp.pad(src_mask, (0, pad))
-    tgt_sq = jnp.sum(tgt * tgt, axis=1)
     r2 = jnp.asarray(radius, p.dtype) ** 2
 
     def block_hits(blk):
         bp, bm = blk
-        d2 = (jnp.sum(bp * bp, axis=1)[:, None] + tgt_sq[None, :]
-              - 2.0 * bp @ tgt.T)
+        dx = bp[:, 0:1] - tgt[None, :, 0]
+        dy = bp[:, 1:2] - tgt[None, :, 1]
+        dz = bp[:, 2:3] - tgt[None, :, 2]
+        d2 = dx * dx + dy * dy + dz * dz
         d2 = jnp.where(tgt_mask[None, :], d2, jnp.inf)
         return jnp.sum((jnp.min(d2, axis=1) <= r2) & bm)
 

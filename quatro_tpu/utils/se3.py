@@ -2,7 +2,24 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def rotate_points(points: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
+    """``points @ rotation.T`` at HIGHEST matmul precision.
+
+    On TPU, f32 matmuls default to bf16 MXU passes (~0.4% relative error):
+    at 40-120 m lidar ranges that is tens of centimeters — the same order
+    as every noise-bound-scale threshold downstream (GNC residuals, COTE
+    consensus, ICP gating, overlap verification). Measured on-chip:
+    EXACTLY-aligned far-field clouds failed a 0.2 m overlap gate for 16%
+    of points through the default-precision path. These (N, 3) @ (3, 3)
+    matmuls are tiny, so exactness is free — every device-side pose
+    application must go through here (or pass precision=HIGHEST itself).
+    """
+    return jnp.matmul(points, jnp.swapaxes(rotation, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def yaw_to_rotation(theta):
@@ -37,7 +54,7 @@ def apply_transform(transform, points):
     """Apply a (4,4) transform to (..., 3) points."""
     rot = transform[:3, :3]
     t = transform[:3, 3]
-    return points @ rot.T + t
+    return rotate_points(points, rot) + t
 
 
 def rotation_geodesic_error(r1, r2):

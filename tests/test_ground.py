@@ -78,6 +78,24 @@ def test_compose_leveled_solution_round_trip(rng):
     np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-5)
 
 
+def test_use_ground_z_gated_on_quasi_so3(rng):
+    """The ground-height t_z override is only valid when the leveled solve
+    kept e_z (yaw-only). A tilted full-SO(3) result must keep the solver's
+    own t_z instead of the now-biased closed-form height difference."""
+    ga = GroundAlignment(jnp.eye(3), jnp.eye(3),
+                         jnp.asarray(-1.5), jnp.asarray(-1.9),
+                         jnp.asarray(True))
+    t_lvl = jnp.asarray([2.0, -1.0, 0.3])
+    yaw_r = np.asarray(rotation_from_rpy(0.0, 0.0, 0.7), np.float32)
+    _, t = compose_leveled_solution(jnp.asarray(yaw_r), t_lvl, ga,
+                                    use_ground_z=True)
+    assert abs(float(t[2]) - (-0.4)) < 1e-5  # yaw-only: heights win
+    tilted = np.asarray(rotation_from_rpy(0.06, -0.04, 0.7), np.float32)
+    _, t = compose_leveled_solution(jnp.asarray(tilted), t_lvl, ga,
+                                    use_ground_z=True)
+    assert abs(float(t[2]) - 0.3) < 1e-5  # tilted: solver t_z wins
+
+
 def test_align_ground_heights_give_dz(rng):
     """use_ground_z reads t_z off the two plane offsets."""
     # two level ground planes at different sensor heights

@@ -69,6 +69,57 @@ def test_icp_yaw_only_keeps_level():
     assert ang < 0.1
 
 
+def test_icp_yaw_only_constrained_on_tilted_scene():
+    """Tilted target normals couple roll/pitch with yaw/t_z in the normal
+    equations. yaw_only must solve the CONSTRAINED system (not truncate an
+    unconstrained solve, which biases the kept DoF) — recovery on the
+    tilted scene must still be exact and z-column preserving."""
+    tgt, nrm = _corner_scene(seed=2)
+    tilt = np.asarray(exp_so3(jnp.asarray([np.deg2rad(5.0), 0, 0],
+                                          dtype=jnp.float32)))
+    tgt = tgt @ tilt.T
+    nrm = nrm @ tilt.T
+    rot_err, t_err = _perturbation([0, 0, 1.0], np.deg2rad(3.0),
+                                   [0.25, -0.15, 0.1])
+    src = (tgt - t_err) @ rot_err
+    mask = jnp.ones(src.shape[0], bool)
+    res = refine_icp(jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+                     jnp.asarray(nrm), mask, jnp.eye(3), jnp.zeros(3),
+                     IcpConfig(iterations=12, yaw_only=True))
+    r = np.asarray(res.rotation)
+    np.testing.assert_allclose(r[:, 2], [0, 0, 1], atol=1e-6)
+    ang = np.rad2deg(float(rotation_geodesic_error(res.rotation,
+                                                   jnp.asarray(rot_err))))
+    assert bool(res.converged)
+    assert ang < 0.1
+    assert np.linalg.norm(np.asarray(res.translation) - t_err) < 0.02
+
+
+def test_icp_metrics_describe_returned_pose():
+    """rmse/num_inliers must be evaluated AT the returned pose (a
+    recompute from the outputs reproduces them), not at the pose before
+    the final update."""
+    tgt, nrm = _corner_scene(seed=3)
+    rot_err, t_err = _perturbation([0.1, 0.2, 1.0], np.deg2rad(5.0),
+                                   [0.4, -0.3, 0.2])
+    src = (tgt - t_err) @ rot_err
+    mask = jnp.ones(src.shape[0], bool)
+    cfg = IcpConfig(iterations=4, hold_iterations=2,
+                    max_source_points=len(src))
+    res = refine_icp(jnp.asarray(src), mask, jnp.asarray(tgt), mask,
+                     jnp.asarray(nrm), mask, jnp.eye(3), jnp.zeros(3), cfg)
+    # recompute point-to-plane residuals at (res.rotation, res.translation)
+    p = src @ np.asarray(res.rotation).T + np.asarray(res.translation)
+    d2 = ((p[:, None, :] - tgt[None, :, :]) ** 2).sum(-1)
+    j = d2.argmin(1)
+    gate = cfg.final_correspondence_distance
+    ok = d2[np.arange(len(p)), j] <= gate * gate
+    r = np.sum(nrm[j] * (p - tgt[j]), axis=-1)
+    rmse = np.sqrt((r[ok] ** 2).mean())
+    assert int(res.num_inliers) == int(ok.sum())
+    np.testing.assert_allclose(float(res.rmse), rmse, rtol=1e-4, atol=1e-6)
+
+
 def test_icp_invalid_coarse_passes_through():
     tgt, nrm = _corner_scene(seed=2)
     mask = jnp.ones(tgt.shape[0], bool)

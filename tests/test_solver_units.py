@@ -72,6 +72,24 @@ def test_greedy_clique_finds_planted_clique(rng):
     assert sub[~np.eye(len(idx), dtype=bool)].all()
 
 
+def test_edgeless_graph_is_invalid_in_every_mode():
+    """Zero consistency edges = no mutually consistent TIM pair exists:
+    the reference aborts (max clique <= 1, quatro.hpp:809-813); the k-core
+    path must not fall back to the 0-core (= every vertex) and bless a
+    garbage solve as valid."""
+    n = 10
+    adj = jnp.zeros((n, n), bool)
+    for mode in ("clique", "kcore"):
+        sel, valid = clique_mod.select_inliers(adj, jnp.ones(n, bool),
+                                               mode=mode)
+        assert not bool(valid), mode
+    # kcore_threshold=0 forces the k-core shortcut inside clique mode —
+    # still must not return the 0-core
+    _, valid = clique_mod.select_inliers(adj, jnp.ones(n, bool),
+                                         mode="clique", kcore_threshold=0.0)
+    assert not bool(valid)
+
+
 def test_yaw_procrustes_matches_svd(rng):
     """Closed-form yaw == Kabsch 2x2 SVD solution (teaser/utils.h:151-166)."""
     src = rng.normal(size=(30, 2))
