@@ -221,7 +221,9 @@ def evaluate_scaling(batch_per_device: int = 4,
         jax.block_until_ready(out.rotation)
         thr = b * iters / (time.time() - t0)
         if base is None:
-            base = thr
+            # Per-device baseline from the FIRST measured count (which need
+            # not be 1): efficiency = (thr/nd) / (thr_first/nd_first).
+            base = thr / nd
         results[nd] = {"pairs_per_s": round(thr, 1),
                        "efficiency": round(thr / (base * nd), 3)}
     return results

@@ -62,6 +62,7 @@ class OdometryRunner:
             src.voxels, tgt.voxels, src.descriptors, tgt.descriptors,
             src.desc_mask, tgt.desc_mask,
             capacity=f.max_correspondences,
+            use_crosscheck=f.use_crosscheck,
             use_tuple_test=f.use_tuple_test, tuple_scale=f.tuple_scale,
             trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed)
         sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,

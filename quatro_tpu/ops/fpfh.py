@@ -111,7 +111,10 @@ def compute_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
     if normal_valid is not None:
         w_ok &= normal_valid[nbrs.idx]
     w = jnp.where(w_ok, 1.0 / jnp.maximum(nbrs.dist2, 1e-12), 0.0)  # (N, K)
-    fpfh = jnp.einsum("nk,nkd->nd", w.astype(dtype), nb_spfh)
+    # HIGHEST: bf16 contraction would add ~1% noise per descriptor bin,
+    # flipping nearest-neighbor matches between close descriptors.
+    fpfh = jnp.einsum("nk,nkd->nd", w.astype(dtype), nb_spfh,
+                      precision=jax.lax.Precision.HIGHEST)
 
     out = []
     for s in range(0, FPFH_DIM, NUM_BINS):

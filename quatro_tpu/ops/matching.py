@@ -44,39 +44,64 @@ def descriptor_distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     return jnp.where(mask_a[:, None] & mask_b[None, :], d2, big)
 
 
-@partial(jax.jit, static_argnames=("capacity", "use_tuple_test",
-                                   "trials_per_corr", "tuple_min_keep"))
+@partial(jax.jit, static_argnames=("capacity", "use_crosscheck",
+                                   "use_tuple_test", "trials_per_corr",
+                                   "tuple_min_keep"))
 def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
                    src_desc: jnp.ndarray, tgt_desc: jnp.ndarray,
                    src_mask: jnp.ndarray, tgt_mask: jnp.ndarray,
-                   capacity: int = 1024, use_tuple_test: bool = True,
+                   capacity: int = 1024, use_crosscheck: bool = True,
+                   use_tuple_test: bool = True,
                    tuple_scale: float = 0.95, trials_per_corr: int = 100,
                    seed: int = 0, tuple_min_keep: int = 8) -> Correspondences:
-    """Full matcher: mutual NN -> tuple test -> compacted correspondences.
+    """Full matcher: NN candidates -> tuple test -> compacted output.
 
-    Semantics follow Matcher::calculateCorrespondences with
-    (absolute_scale=True, crosscheck=True, tuple_test=True, tuple_scale)
-    as invoked by the manager (reference: fpfh_manager.hpp:126-127).
+    Semantics follow Matcher::calculateCorrespondences
+    (reference: fpfh_manager.hpp:126-127 invokes it with absolute_scale=T,
+    crosscheck=T, tuple_test=T). With crosscheck the candidate set is the
+    mutual nearest neighbors (initial matching + cross check collapse to
+    that); without it, it is the reference's one-directional union — every
+    src keypoint with its NN target plus every tgt keypoint with its NN
+    source, deduplicated (feature_matcher.cc:116-144).
+
+    When more matches survive than `capacity`, the BEST `capacity` by
+    descriptor distance are kept — an explicit quality policy rather than
+    inheriting the source-voxel ordering (which is densest-voxel-first and
+    would silently drop far-field matches, shrinking the solver's
+    geometric baseline).
     """
     na = src_desc.shape[0]
-    iota = jnp.arange(na)
-
-    def compact(flag):
-        """Indices with flag=True first (ascending), False after."""
-        return jnp.argsort(jnp.where(flag, iota, na + iota))
+    nb = tgt_desc.shape[0]
+    ia = jnp.arange(na)
+    ib = jnp.arange(nb)
 
     d2 = descriptor_distances(src_desc, tgt_desc, src_mask, tgt_mask)
 
     nn_ab = jnp.argmin(d2, axis=1)                 # (Na,)
     nn_ba = jnp.argmin(d2, axis=0)                 # (Nb,)
-    mutual = (nn_ba[nn_ab] == iota) & src_mask & tgt_mask[nn_ab]
+    mutual_a = (nn_ba[nn_ab] == ia) & src_mask & tgt_mask[nn_ab]
+
+    if use_crosscheck:
+        cand_src0, cand_tgt0, cand_flag = ia, nn_ab, mutual_a
+    else:
+        # One-directional union; a mutual pair appears on both sides, so
+        # drop its tgt-side copy.
+        mutual_b = (nn_ab[nn_ba] == ib) & tgt_mask & src_mask[nn_ba]
+        cand_src0 = jnp.concatenate([ia, nn_ba])
+        cand_tgt0 = jnp.concatenate([nn_ab, ib])
+        cand_flag = jnp.concatenate(
+            [src_mask & tgt_mask[nn_ab],
+             tgt_mask & src_mask[nn_ba] & ~mutual_b])
+
+    n_cand = cand_src0.shape[0]
+    ic = jnp.arange(n_cand)
 
     # Compact candidate pairs to the front.
-    order = compact(mutual)
-    ncorr = jnp.sum(mutual).astype(jnp.int32)
-    cand_pos = iota < ncorr
-    cand_src = order
-    cand_tgt = nn_ab[order]
+    order = jnp.argsort(jnp.where(cand_flag, ic, n_cand + ic))
+    ncorr = jnp.sum(cand_flag).astype(jnp.int32)
+    cand_pos = ic < ncorr
+    cand_src = cand_src0[order]
+    cand_tgt = cand_tgt0[order]
 
     keep = cand_pos
     if use_tuple_test:
@@ -87,7 +112,7 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         # bounding the candidate count at 2*capacity instead of the full
         # voxel capacity keeps the per-pair hit statistics (~300 triples
         # per pair) whenever ncorr fits, at ~4x less wasted work.
-        trials = trials_per_corr * min(na, 2 * capacity)
+        trials = trials_per_corr * min(n_cand, 2 * capacity)
         key = jax.random.PRNGKey(seed)
         rand = jax.random.randint(key, (trials, 3), 0,
                                   jnp.maximum(ncorr, 1))
@@ -107,27 +132,31 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         ok = jnp.all((li * tuple_scale < lj) & (lj < li / tuple_scale),
                      axis=-1) & trial_on            # (T,)
 
-        hit = jnp.zeros((na,), bool)
+        hit = jnp.zeros((n_cand,), bool)
         flat = rand.reshape(-1)
         hit = hit.at[flat].max(jnp.repeat(ok, 3))
         tuple_keep = cand_pos & hit
         # Robustness addition over the reference: when the tuple test
         # collapses (low-overlap pairs leave too few consistent triples,
         # where the reference proceeds with ~0 correspondences and aborts,
-        # quatro.hpp:809-813), fall back to the mutual-NN candidates — the
+        # quatro.hpp:809-813), fall back to the NN candidates — the
         # solver's own clique stage is a stronger filter than no data.
         keep = jnp.where(jnp.sum(tuple_keep) >= tuple_min_keep,
                          tuple_keep, cand_pos)
 
-    # Final compaction into the fixed capacity.
-    korder = compact(keep)
+    # Final compaction into the fixed capacity: kept pairs first, ordered
+    # best-descriptor-distance-first, so capacity overflow drops the WORST
+    # matches instead of a spatially biased tail (argsort is stable, so
+    # the no-overflow case stays deterministic too).
+    quality = d2[cand_src, cand_tgt]
+    inf = jnp.asarray(jnp.inf, quality.dtype)
+    korder = jnp.argsort(jnp.where(keep, quality, inf))
     kcount = jnp.sum(keep).astype(jnp.int32)
-    sel = korder[:capacity] if na >= capacity else jnp.pad(
-        korder, (0, capacity - na))
+    sel = korder[:capacity] if n_cand >= capacity else jnp.pad(
+        korder, (0, capacity - n_cand))
     out_mask = jnp.arange(capacity) < jnp.minimum(kcount, capacity)
     s_idx = jnp.where(out_mask, cand_src[sel], 0).astype(jnp.int32)
     t_idx = jnp.where(out_mask, cand_tgt[sel], 0).astype(jnp.int32)
-    zero = jnp.zeros((capacity, 3), src_xyz.dtype)
     s_xyz = jnp.where(out_mask[:, None], src_xyz[s_idx], 0.0)
     t_xyz = jnp.where(out_mask[:, None], tgt_xyz[t_idx], 0.0)
     return Correspondences(s_idx, t_idx, out_mask, s_xyz, t_xyz)

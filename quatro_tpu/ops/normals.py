@@ -78,7 +78,11 @@ def estimate_normals(points: jnp.ndarray, nbrs: NeighborLists,
     cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)     # (N, 1)
     mean = jnp.sum(nb_pts * w, axis=1) / cnt
     centered = (nb_pts - mean[:, None, :]) * w
-    cov = jnp.einsum("nki,nkj->nij", centered, centered) / cnt[..., None]
+    # HIGHEST: with the TPU bf16 matmul default, planar neighborhoods'
+    # lambda_min/trace (~1e-5 on roads) would drown in ~4e-3 relative
+    # covariance error — curvature noise and degrees of normal wobble.
+    cov = jnp.einsum("nki,nkj->nij", centered, centered,
+                     precision=jax.lax.Precision.HIGHEST) / cnt[..., None]
 
     normal, lam_min = smallest_eigenvector_3x3(cov)
     trace = jnp.trace(cov, axis1=-2, axis2=-1)

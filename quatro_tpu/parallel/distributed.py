@@ -50,7 +50,17 @@ def global_pairs_mesh() -> Mesh:
 
 def local_batch_slice(global_batch: int) -> slice:
     """The slice of a pair batch this host should feed into a
-    jax.make_array_from_process_local_data-style construction."""
-    per = global_batch // jax.process_count()
+    jax.make_array_from_process_local_data-style construction.
+
+    global_batch must divide evenly across hosts — a silent remainder
+    would drop pairs from the job (pad the batch and mask the padding
+    instead, as sharded_register_batch's docstring requires)."""
+    n_proc = jax.process_count()
+    if global_batch % n_proc != 0:
+        raise ValueError(
+            f"global_batch={global_batch} is not divisible by "
+            f"process_count={n_proc}; the remainder pairs would silently "
+            "be assigned to no host. Pad the batch (mask=False rows).")
+    per = global_batch // n_proc
     lo = jax.process_index() * per
     return slice(lo, lo + per)

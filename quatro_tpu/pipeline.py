@@ -79,6 +79,7 @@ def register_features(src: PointBatch, tgt: PointBatch,
         src_vox.points, tgt_vox.points, src_desc, tgt_desc,
         src_dmask, tgt_dmask,
         capacity=config.fpfh.max_correspondences,
+        use_crosscheck=config.fpfh.use_crosscheck,
         use_tuple_test=config.fpfh.use_tuple_test,
         tuple_scale=config.fpfh.tuple_scale,
         trials_per_corr=config.fpfh.tuple_trials_per_corr,

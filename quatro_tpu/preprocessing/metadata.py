@@ -40,13 +40,23 @@ def compute_scan_metadata(points: jnp.ndarray, mask: jnp.ndarray,
     """
     rows, cols = proj.range_image.shape
     occupied = proj.owner >= 0
+    own = jnp.maximum(proj.owner, 0)
     ground_pix = jnp.zeros((rows, cols), bool)
     if proj.ground is not None:
-        own = jnp.maximum(proj.owner, 0)
         ground_pix = occupied & proj.ground[own]
-    seg_pix = (proj.label_image >= 0) | ground_pix
+    # Segmented pixels = pixels of ACCEPTED sub-clusters only (label_image
+    # also labels infeasible clusters that the reference routes to
+    # outlierCloud and excludes from segMsg) + ground pixels downsampled to
+    # every 5th column away from the image borders, exactly as the
+    # reference's cloudSegmentation does (include/imageProjection.hpp:
+    # 434-452: ground enters segmentedCloud iff j%5==0 or j<=5 or
+    # j>=Horizon_SCAN-5).
+    col_ind = jnp.broadcast_to(jnp.arange(cols, dtype=jnp.int32),
+                               (rows, cols))
+    ground_ds = ground_pix & ((col_ind % 5 == 0) | (col_ind <= 5)
+                              | (col_ind >= cols - 5))
+    seg_pix = (occupied & proj.valid_segments[own]) | ground_ds
 
-    rank = jnp.cumsum(seg_pix.reshape(-1)).reshape(rows, cols)
     per_row_count = jnp.sum(seg_pix, axis=1)
     row_end = jnp.cumsum(per_row_count)
     row_start_rank = row_end - per_row_count
@@ -54,8 +64,6 @@ def compute_scan_metadata(points: jnp.ndarray, mask: jnp.ndarray,
     start_ring = (row_start_rank - 1 + 5).astype(jnp.int32)
     end_ring = (row_end - 1 - 5).astype(jnp.int32)
 
-    col_ind = jnp.broadcast_to(jnp.arange(cols, dtype=jnp.int32),
-                               (rows, cols))
     rng = jnp.where(seg_pix, proj.range_image, 0.0)
 
     # start/end orientation (include/imageProjection.hpp:296-306): first and
@@ -72,7 +80,7 @@ def compute_scan_metadata(points: jnp.ndarray, mask: jnp.ndarray,
     return ScanMetadata(
         start_ring_index=start_ring,
         end_ring_index=end_ring,
-        segmented_ground_flag=ground_pix & seg_pix,
+        segmented_ground_flag=ground_ds,
         segmented_col_ind=jnp.where(seg_pix, col_ind, 0),
         segmented_range=rng,
         start_orientation=start_o,

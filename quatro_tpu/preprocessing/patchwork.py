@@ -169,7 +169,12 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
         cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
         mean = jnp.sum(table_pts * w, axis=1) / cnt
         centered = (table_pts - mean[:, None, :]) * w
-        cov = jnp.einsum("pki,pkj->pij", centered, centered) / cnt[..., None]
+        # HIGHEST: the TPU bf16 matmul default injects ~0.4% relative error
+        # into the covariance — spurious lambda_min ~4e-3 of trace, which
+        # swamps flatness thresholds of 1e-4 and randomizes the gate.
+        cov = jnp.einsum("pki,pkj->pij", centered, centered,
+                         precision=jax.lax.Precision.HIGHEST) \
+            / cnt[..., None]
         normal, lam_min = smallest_eigenvector_3x3(cov)
         # deterministic sign: n_z >= 0 so "below plane + th_dist" is ground
         normal = jnp.where(normal[:, 2:3] < 0, -normal, normal)
@@ -182,7 +187,11 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     normal = th_dist_d = mean = surface_var = None
     for _ in range(cfg.num_iter):
         normal, th_dist_d, mean, surface_var = fit_plane(ground_tab)
-        proj = jnp.einsum("pkc,pc->pk", table_pts, normal)
+        # HIGHEST: raw coordinates reach 80 m; the bf16 default would put
+        # ~0.3 m of rounding into a comparison against th_dist = 0.125 m
+        # (and diverge from the elementwise per-point classification below).
+        proj = jnp.einsum("pkc,pc->pk", table_pts, normal,
+                          precision=jax.lax.Precision.HIGHEST)
         ground_tab = table_valid & (proj < th_dist_d[:, None])
 
     # --- gate cascade (include/patchwork.hpp:394-451) ------------------------

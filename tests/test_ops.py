@@ -178,3 +178,61 @@ def test_match_features_recovers_identity_pairs(rng):
     assert m.sum() > 0.5 * n
     same = (np.asarray(corr.src_idx) == np.asarray(corr.tgt_idx))[m]
     assert same.mean() > 0.95
+
+
+def test_match_without_crosscheck_is_union_and_deduped(rng):
+    """use_crosscheck=False must yield the one-directional union
+    (feature_matcher.cc:116-144): a superset of the mutual-NN matches,
+    with the doubly-listed mutual pairs deduplicated."""
+    na, nb, d = 48, 64, 33
+    src_d = rng.normal(size=(na, d)).astype(np.float32)
+    tgt_d = rng.normal(size=(nb, d)).astype(np.float32)
+    src_p = rng.normal(size=(na, 3)).astype(np.float32)
+    tgt_p = rng.normal(size=(nb, 3)).astype(np.float32)
+    ma, mb = np.ones(na, bool), np.ones(nb, bool)
+    kw = dict(capacity=256, use_tuple_test=False)
+    strict = match_features(jnp.asarray(src_p), jnp.asarray(tgt_p),
+                            jnp.asarray(src_d), jnp.asarray(tgt_d),
+                            jnp.asarray(ma), jnp.asarray(mb),
+                            use_crosscheck=True, **kw)
+    loose = match_features(jnp.asarray(src_p), jnp.asarray(tgt_p),
+                           jnp.asarray(src_d), jnp.asarray(tgt_d),
+                           jnp.asarray(ma), jnp.asarray(mb),
+                           use_crosscheck=False, **kw)
+
+    def pairs(c):
+        m = np.asarray(c.mask)
+        return set(zip(np.asarray(c.src_idx)[m].tolist(),
+                       np.asarray(c.tgt_idx)[m].tolist()))
+
+    p_strict, p_loose = pairs(strict), pairs(loose)
+    assert p_strict <= p_loose
+    assert len(p_loose) > len(p_strict)  # random descs: few mutual pairs
+    # dedup: every accepted pair appears exactly once
+    m = np.asarray(loose.mask)
+    listed = list(zip(np.asarray(loose.src_idx)[m].tolist(),
+                      np.asarray(loose.tgt_idx)[m].tolist()))
+    assert len(listed) == len(set(listed))
+
+
+def test_match_capacity_overflow_keeps_best_descriptor_matches():
+    """When survivors exceed capacity, the kept set must be the best by
+    descriptor distance — not the head of the source-voxel ordering
+    (densest-first), which would systematically drop far-field matches."""
+    n, d, cap = 32, 33, 8
+    # identical descriptor sets, i <-> i matches, with per-pair noise that
+    # GROWS with the index: best matches are the low indices... but feed
+    # the source in REVERSED order so positional truncation would keep the
+    # worst ones.
+    base = np.eye(n, d, dtype=np.float32) * 10
+    noise = (np.arange(n, dtype=np.float32)[:, None] * 0.01)
+    src_d = base + noise  # distance of pair i grows with i
+    tgt_d = base
+    pts = np.zeros((n, 3), np.float32)
+    m = np.ones(n, bool)
+    corr = match_features(jnp.asarray(pts), jnp.asarray(pts),
+                          jnp.asarray(src_d), jnp.asarray(tgt_d),
+                          jnp.asarray(m), jnp.asarray(m),
+                          capacity=cap, use_tuple_test=False)
+    got = np.sort(np.asarray(corr.src_idx)[np.asarray(corr.mask)])
+    np.testing.assert_array_equal(got, np.arange(cap))

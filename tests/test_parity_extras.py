@@ -131,6 +131,27 @@ def test_scan_metadata():
     diff = float(md.orientation_diff)
     assert np.pi < diff < 3 * np.pi
 
+    # segMsg semantics (include/imageProjection.hpp:434-452): every
+    # segmented pixel is either an ACCEPTED sub-cluster point (never a
+    # rejected/infeasible cluster) or a column-downsampled ground pixel.
+    owner = np.asarray(proj.owner)
+    seg = rngs > 0
+    valid_seg = np.asarray(proj.valid_segments)
+    ground = np.asarray(proj.ground)
+    gflag = np.asarray(md.segmented_ground_flag)
+    occ = owner >= 0
+    ok_cluster = occ & valid_seg[np.maximum(owner, 0)]
+    assert (seg <= (ok_cluster | gflag)).all(), \
+        "segmented pixels include rejected clusters"
+    cols = np.broadcast_to(np.arange(rngs.shape[1]), rngs.shape)
+    in_border = (cols <= 5) | (cols >= rngs.shape[1] - 5)
+    assert (gflag <= ((cols % 5 == 0) | in_border)).all(), \
+        "ground pixels must be downsampled to every 5th column"
+    assert gflag.any()
+    # rejected-cluster pixels exist in this scene and are excluded
+    outlier_pix = occ & np.asarray(proj.outliers)[np.maximum(owner, 0)]
+    assert not (seg & outlier_pix & ~gflag).any()
+
 
 def test_estimate_scaling_recovers_similarity_transform(rng):
     """TLS scale extension: recovers (s, R, t) for tgt = s*R*src + t + noise
