@@ -59,6 +59,8 @@ def _load():
     lib.quatro_loader_next.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_ubyte)]
+    lib.quatro_loader_stop.restype = None
+    lib.quatro_loader_stop.argtypes = [ctypes.c_void_p]
     lib.quatro_loader_destroy.restype = None
     lib.quatro_loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -134,9 +136,18 @@ class ScanLoader:
 
     def __init__(self, paths, capacity: int, n_workers: int = 4,
                  queue_depth: int = 8):
+        import threading
         self._lib = _load()
         self._paths = [os.fspath(p) for p in paths]
         self.capacity = int(capacity)
+        # close()/next() handshake: _cond guards _handle/_active/_closing;
+        # a consumer may only enter the C call while registered in _active,
+        # and close() quiesces (stop -> wait active==0) before destroy —
+        # otherwise a consumer that read the handle but had not yet entered
+        # C could call into freed memory.
+        self._cond = threading.Condition()
+        self._active = 0
+        self._closing = False
         if not self._paths:  # empty sequence: a valid, exhausted iterator
             self._handle = None
             return
@@ -151,14 +162,22 @@ class ScanLoader:
         return self
 
     def __next__(self):
-        if self._handle is None:
-            raise StopIteration
-        points = np.empty((self.capacity, 3), np.float32)
-        mask = np.empty(self.capacity, np.uint8)
-        n = self._lib.quatro_loader_next(
-            self._handle,
-            points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        with self._cond:
+            if self._handle is None or self._closing:
+                raise StopIteration
+            self._active += 1
+            handle = self._handle
+        try:
+            points = np.empty((self.capacity, 3), np.float32)
+            mask = np.empty(self.capacity, np.uint8)
+            n = self._lib.quatro_loader_next(
+                handle,
+                points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                mask.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        finally:
+            with self._cond:
+                self._active -= 1
+                self._cond.notify_all()
         if n == -2:
             raise StopIteration
         if n == -1:
@@ -166,9 +185,26 @@ class ScanLoader:
         return points, mask.astype(bool)
 
     def close(self):
-        if self._handle is not None:
-            self._lib.quatro_loader_destroy(self._handle)
+        with self._cond:
+            if self._handle is None:
+                return
+            if self._closing:
+                # another close() owns the teardown: wait it out
+                while self._handle is not None:
+                    self._cond.wait()
+                return
+            self._closing = True
+            handle = self._handle
+        # 1) signal shutdown (unblocks consumers waiting inside C, and any
+        #    consumer entering C after this sees the flag — memory is still
+        #    alive), 2) quiesce Python-side consumers, 3) free.
+        self._lib.quatro_loader_stop(handle)
+        with self._cond:
+            while self._active > 0:
+                self._cond.wait()
             self._handle = None
+            self._cond.notify_all()
+        self._lib.quatro_loader_destroy(handle)
 
     def __enter__(self):
         return self

@@ -32,6 +32,10 @@ long quatro_load_kitti_bin(const char *path, float *out, long max_points) {
     long n_points = (long)(st.st_size / (4 * sizeof(float)));
     if (out == NULL) { close(fd); return n_points; }
     if (n_points > max_points) n_points = max_points;
+    if (n_points == 0) {  /* legitimate empty scan; mmap(0) is EINVAL */
+        close(fd);
+        return 0;
+    }
     size_t bytes = (size_t)n_points * 4 * sizeof(float);
 
     void *map = mmap(NULL, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
@@ -235,26 +239,30 @@ long quatro_loader_next(quatro_loader_t *ld, float *out_points,
                         uint8_t *out_mask) {
     pthread_mutex_lock(&ld->mu);
     ld->in_next++;
-    if (ld->next_to_emit >= ld->n_files || ld->shutdown) {
-        ld->in_next--;
-        pthread_cond_broadcast(&ld->cv_consumed);
-        pthread_mutex_unlock(&ld->mu);
-        return -2;
-    }
-    long idx = ld->next_to_emit;
-    loader_slot_t *s = &ld->slots[idx % ld->depth];
-    while (!(s->state == SLOT_READY && s->seq == idx)) {
-        if (ld->shutdown) {
+    long idx;
+    loader_slot_t *s;
+    /* Re-read next_to_emit after every wake: a concurrent consumer may
+     * have claimed the index we were waiting for (multi-consumer safe —
+     * a stale cached idx would wait forever for a seq the ring has moved
+     * past). */
+    for (;;) {
+        if (ld->next_to_emit >= ld->n_files || ld->shutdown) {
             ld->in_next--;
             pthread_cond_broadcast(&ld->cv_consumed);
             pthread_mutex_unlock(&ld->mu);
             return -2;
         }
+        idx = ld->next_to_emit;
+        s = &ld->slots[idx % ld->depth];
+        if (s->state == SLOT_READY && s->seq == idx) break;
         pthread_cond_wait(&ld->cv_produced, &ld->mu);
     }
     long n = s->n_points;
     ld->next_to_emit++;
     s->state = SLOT_DRAINING;  /* copy outside the lock; workers skip it */
+    /* other consumers may already have their next slot READY: wake them to
+     * re-check with the advanced next_to_emit */
+    pthread_cond_broadcast(&ld->cv_produced);
     pthread_mutex_unlock(&ld->mu);
 
     memcpy(out_points, s->points, (size_t)ld->cap * 3 * sizeof(float));
@@ -268,9 +276,25 @@ long quatro_loader_next(quatro_loader_t *ld, float *out_points,
     return n;
 }
 
+/* Signal shutdown WITHOUT freeing: wakes every blocked quatro_loader_next
+ * (they return -2) and stops the workers, but keeps the loader allocated so
+ * late-arriving next() calls see the shutdown flag instead of freed memory.
+ * The owner must still call quatro_loader_destroy once no consumer can
+ * enter next() anymore (see ScanLoader.close in __init__.py). */
+void quatro_loader_stop(quatro_loader_t *ld) {
+    if (!ld) return;
+    pthread_mutex_lock(&ld->mu);
+    ld->shutdown = 1;
+    pthread_cond_broadcast(&ld->cv_consumed);
+    pthread_cond_broadcast(&ld->cv_produced);
+    pthread_mutex_unlock(&ld->mu);
+}
+
 /* Safe to call while another thread is blocked in quatro_loader_next: that
  * call is woken, returns -2, and destroy waits for it to leave before
- * freeing anything. */
+ * freeing anything. NOT safe against a consumer that has not yet ENTERED
+ * loader_next — callers with concurrent consumers must quiesce them first
+ * (stop + wait), as the Python wrapper does. */
 void quatro_loader_destroy(quatro_loader_t *ld) {
     if (!ld) return;
     pthread_mutex_lock(&ld->mu);
@@ -299,6 +323,8 @@ void quatro_loader_destroy(quatro_loader_t *ld) {
 int quatro_pack_batch(const float *const *clouds, const long *sizes, long b,
                       long stride, long cap, float *out_points,
                       uint8_t *out_mask, int n_threads) {
+    if (b <= 0) return 0;  /* empty batch: nothing to pack (b=0 would make
+                              the chunk math divide by zero) */
     if (n_threads < 1) n_threads = 1;
     if (n_threads > b) n_threads = (int)b;
     pthread_t threads[64];
@@ -312,8 +338,22 @@ int quatro_pack_batch(const float *const *clouds, const long *sizes, long b,
         if (begin >= end) break;
         jobs[t] = (pack_job_t){clouds, sizes, stride, cap,
                                out_points, out_mask, begin, end};
-        if (pthread_create(&threads[t], NULL, pack_worker, &jobs[t]) != 0)
-            return -1;
+        if (pthread_create(&threads[t], NULL, pack_worker, &jobs[t]) != 0) {
+            /* Thread exhaustion: run this chunk (and the rest) inline
+             * rather than returning with spawned workers still touching
+             * this stack frame — the jobs/threads arrays must outlive
+             * every worker. */
+            pack_worker(&jobs[t]);
+            for (int r = t + 1; r < n_threads; ++r) {
+                long rb = r * chunk;
+                long re = rb + chunk > b ? b : rb + chunk;
+                if (rb >= re) break;
+                pack_job_t j = {clouds, sizes, stride, cap,
+                                out_points, out_mask, rb, re};
+                pack_worker(&j);
+            }
+            break;
+        }
         started++;
     }
     for (int t = 0; t < started; ++t) pthread_join(threads[t], NULL);

@@ -34,11 +34,25 @@ from quatro_tpu.types import PointBatch, RegistrationSolution
 @struct.dataclass
 class FrameFeatures:
     """Extracted per-frame features (the cacheable unit); a pytree so it
-    passes straight through jit."""
+    passes straight through jit.
+
+    With ground alignment enabled, voxels/descriptors live in the frame's
+    LEVELED coordinates (level @ p) and `level`/`ground_height`/`ground_ok`
+    carry the per-frame leveling; registration composes the pair back to
+    raw frames (solver/ground.py). With ICP enabled, `raw_*` carry a
+    voxelization OF THE RAW SCAN (ground kept — point-to-plane needs it to
+    constrain z) plus its normals for the refinement stage."""
     voxels: jnp.ndarray       # (V, 3)
     voxel_mask: jnp.ndarray   # (V,)
     descriptors: jnp.ndarray  # (V, 33)
     desc_mask: jnp.ndarray    # (V,)
+    level: Optional[jnp.ndarray] = None          # (3, 3) | None
+    ground_height: Optional[jnp.ndarray] = None  # () | None
+    ground_ok: Optional[jnp.ndarray] = None      # () bool | None
+    raw_voxels: Optional[jnp.ndarray] = None       # (V, 3) | None
+    raw_voxel_mask: Optional[jnp.ndarray] = None   # (V,) | None
+    raw_normals: Optional[jnp.ndarray] = None      # (V, 3) | None
+    raw_normal_valid: Optional[jnp.ndarray] = None  # (V,) | None
 
 
 class OdometryRunner:
@@ -52,12 +66,41 @@ class OdometryRunner:
         self._register_batch = jax.jit(jax.vmap(self._register_verify_impl))
 
     def _extract_impl(self, points, mask):
-        seg, _ = preprocess(points, mask, self.config)
-        vox, desc, dmask, _ = extract_features(points, seg, self.config)
-        return vox.points, vox.mask, desc, dmask
+        cfg = self.config
+        seg, ground = preprocess(points, mask, cfg)
+        extra = {}
+        pts = points
+        if cfg.ground_alignment.enabled:
+            from quatro_tpu.solver.ground import frame_leveling
+            from quatro_tpu.utils.se3 import rotate_points
+            level, height, ok = frame_leveling(points, ground & mask,
+                                               cfg.ground_alignment)
+            pts = rotate_points(points, level)
+            extra.update(level=level, ground_height=height, ground_ok=ok)
+        vox, desc, dmask, _ = extract_features(pts, seg, cfg)
+        if cfg.icp.enabled:
+            # ICP refines on a RAW-scan voxelization (ground kept: the
+            # plane Patchwork removed is what constrains z), mirroring
+            # pipeline.refine_solution.
+            from quatro_tpu.ops.neighbors import radius_neighbors
+            from quatro_tpu.ops.normals import estimate_normals
+            from quatro_tpu.ops.voxel import voxel_downsample
+            vr, mr = voxel_downsample(points, mask, cfg.voxel_size,
+                                      cfg.max_voxels)
+            nrm = estimate_normals(vr, radius_neighbors(
+                vr, mr, cfg.fpfh.normal_radius,
+                cfg.fpfh.max_neighbors_normal))
+            extra.update(raw_voxels=vr, raw_voxel_mask=mr,
+                         raw_normals=nrm.normals,
+                         raw_normal_valid=nrm.valid)
+        return FrameFeatures(vox.points, vox.mask, desc, dmask, **extra)
 
     def _register_impl(self, src: FrameFeatures, tgt: FrameFeatures):
-        f = self.config.fpfh
+        """Returns (final solution in RAW frames, correspondences,
+        feature-frame coarse pose (rotation, translation) for overlap
+        verification against the stored — possibly leveled — voxels)."""
+        cfg = self.config
+        f = cfg.fpfh
         corr = match_features(
             src.voxels, tgt.voxels, src.descriptors, tgt.descriptors,
             src.desc_mask, tgt.desc_mask,
@@ -66,20 +109,41 @@ class OdometryRunner:
             use_tuple_test=f.use_tuple_test, tuple_scale=f.tuple_scale,
             trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed)
         sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
-                                       self.config.solver)
-        return sol, corr
+                                       cfg.solver)
+        coarse = (sol.rotation, sol.translation)
+        if cfg.ground_alignment.enabled:
+            from quatro_tpu.solver.ground import (GroundAlignment,
+                                                  compose_leveled_solution)
+            ga = GroundAlignment(src.level, tgt.level,
+                                 src.ground_height, tgt.ground_height,
+                                 src.ground_ok & tgt.ground_ok)
+            rot, t = compose_leveled_solution(
+                sol.rotation, sol.translation, ga,
+                use_ground_z=cfg.ground_alignment.use_ground_z)
+            sol = sol.replace(rotation=rot, translation=t)
+        if cfg.icp.enabled:
+            from quatro_tpu.solver.icp import refine_icp
+            icp_res = refine_icp(
+                src.raw_voxels, src.raw_voxel_mask,
+                tgt.raw_voxels, tgt.raw_voxel_mask,
+                tgt.raw_normals, tgt.raw_normal_valid,
+                sol.rotation, sol.translation, cfg.icp, valid=sol.valid)
+            sol = sol.replace(rotation=icp_res.rotation,
+                              translation=icp_res.translation)
+        return sol, corr, coarse
 
     def _register_verify_impl(self, src: FrameFeatures, tgt: FrameFeatures):
-        sol, _ = self._register_impl(src, tgt)
+        sol, _, (rot_c, t_c) = self._register_impl(src, tgt)
+        # Overlap is verified with the COARSE feature-frame pose: the
+        # stored voxels live in the (possibly leveled) feature frames, and
+        # ICP cannot rescue a wrong coarse pose anyway.
         overlap = alignment_overlap(
             src.voxels, src.voxel_mask, tgt.voxels, tgt.voxel_mask,
-            sol.rotation, sol.translation,
-            radius=2.0 * self.config.voxel_size)
+            rot_c, t_c, radius=2.0 * self.config.voxel_size)
         return sol, overlap
 
     def extract(self, scan: PointBatch) -> FrameFeatures:
-        v, vm, d, dm = self._extract(scan.points, scan.mask)
-        return FrameFeatures(v, vm, d, dm)
+        return self._extract(scan.points, scan.mask)
 
     def step(self, scan: PointBatch) -> Optional[RegistrationSolution]:
         """Feed the next frame; returns the solution vs the previous frame
@@ -88,13 +152,13 @@ class OdometryRunner:
         feats = self.extract(scan)
         sol = None
         if self._prev is not None:
-            sol, _ = self._register(self._prev, feats)
+            sol, _, _ = self._register(self._prev, feats)
         self._prev = feats
         return sol
 
     def register_pair(self, src: FrameFeatures,
                       tgt: FrameFeatures) -> RegistrationSolution:
-        sol, _ = self._register(src, tgt)
+        sol, _, _ = self._register(src, tgt)
         return sol
 
     def register_pairs(self, src: FrameFeatures, tgt: FrameFeatures
@@ -111,24 +175,27 @@ class OdometryRunner:
         self._prev = None
 
 
+_FEATURE_FIELDS = ("voxels", "voxel_mask", "descriptors", "desc_mask",
+                   "level", "ground_height", "ground_ok",
+                   "raw_voxels", "raw_voxel_mask", "raw_normals",
+                   "raw_normal_valid")
+
+
 def save_frame_features(path: str, feats: FrameFeatures) -> None:
     """Cache features to .npz (replaces the PCD pair cache,
-    fpfh_manager.hpp:179-198)."""
-    np.savez_compressed(
-        path, voxels=np.asarray(feats.voxels),
-        voxel_mask=np.asarray(feats.voxel_mask),
-        descriptors=np.asarray(feats.descriptors),
-        desc_mask=np.asarray(feats.desc_mask))
+    fpfh_manager.hpp:179-198). Optional fields (leveling, ICP clouds) are
+    stored when present."""
+    data = {k: np.asarray(getattr(feats, k)) for k in _FEATURE_FIELDS
+            if getattr(feats, k) is not None}
+    np.savez_compressed(path, **data)
 
 
 def load_frame_features(path: str) -> FrameFeatures:
     if not os.path.exists(path):
         raise FileNotFoundError(f"[odometry]: feature cache missing: {path}")
     z = np.load(path)
-    return FrameFeatures(jnp.asarray(z["voxels"]),
-                         jnp.asarray(z["voxel_mask"]),
-                         jnp.asarray(z["descriptors"]),
-                         jnp.asarray(z["desc_mask"]))
+    return FrameFeatures(**{k: jnp.asarray(z[k]) for k in _FEATURE_FIELDS
+                            if k in z.files})
 
 
 def run_odometry_files(paths, config: PipelineConfig = PipelineConfig(),

@@ -57,7 +57,10 @@ def _feature_fingerprint(config: PipelineConfig) -> str:
            config.ground_segmentation_mode, config.use_subclustering,
            config.voxel_size, config.max_raw_points,
            config.max_nonground_points, config.max_segment_points,
-           config.max_voxels)
+           config.max_voxels,
+           # both change what FrameFeatures contains (leveled coordinates /
+           # raw-voxel ICP clouds)
+           config.ground_alignment, config.icp.enabled)
     return hashlib.sha1(repr(key).encode()).hexdigest()[:10]
 
 
@@ -68,6 +71,7 @@ def _edge_fingerprint(config: PipelineConfig, min_edge_inliers: int,
     matcher, the solver, and the edge-acceptance gates."""
     import hashlib
     key = (_feature_fingerprint(config), config.fpfh, config.solver,
+           config.icp, config.ground_alignment,
            min_edge_inliers, min_edge_overlap)
     return hashlib.sha1(repr(key).encode()).hexdigest()[:10]
 

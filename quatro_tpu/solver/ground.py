@@ -116,6 +116,15 @@ def _gated_leveling(plane: GroundPlane, cfg: GroundAlignmentConfig):
     return level, height, ok
 
 
+def frame_leveling(points: jnp.ndarray, ground_mask: jnp.ndarray,
+                   config: GroundAlignmentConfig):
+    """Per-frame leveling for streaming/odometry use: fit THIS scan's
+    ground plane and gate it. Returns (level (3,3), height (), ok ()).
+    Pair-level gating (both sides must pass before trusting the height
+    difference) happens at registration time via GroundAlignment.valid."""
+    return _gated_leveling(fit_ground_plane(points, ground_mask), config)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def align_ground(src_points: jnp.ndarray, src_ground: jnp.ndarray,
                  tgt_points: jnp.ndarray, tgt_ground: jnp.ndarray,

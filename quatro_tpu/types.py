@@ -94,9 +94,12 @@ class RegistrationSolution:
 
     def transform(self) -> jax.Array:
         """Compose the 4x4 homogeneous transform [R|t; 0 1]
-        (reference: include/quatro.hpp:933-935)."""
+        (reference: include/quatro.hpp:933-935). Batch-safe: a vmapped
+        solution (leading axes on rotation/translation) yields
+        (..., 4, 4)."""
         dtype = self.rotation.dtype
-        eye = jnp.eye(4, dtype=dtype)
-        out = eye.at[:3, :3].set(self.rotation)
-        out = out.at[:3, 3].set(self.translation)
-        return out
+        batch = self.rotation.shape[:-2]
+        out = jnp.zeros((*batch, 4, 4), dtype)
+        out = out.at[..., :3, :3].set(self.rotation)
+        out = out.at[..., :3, 3].set(self.translation)
+        return out.at[..., 3, 3].set(1.0)

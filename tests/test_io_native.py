@@ -66,6 +66,24 @@ def test_kitti_empty_file_and_per_file_errors(tmp_path, rng):
             "per-file error wrongly disabled the native path"
 
 
+def test_native_empty_batch_and_empty_bin(tmp_path):
+    """pack_batch([]) must return an empty batch (the C side divided by
+    zero and killed the process); a 0-byte .bin is a legitimate 0-point
+    scan on the native path too (mmap(0) is EINVAL and returned -1)."""
+    native = pytest.importorskip("quatro_tpu.native")
+    try:
+        native._load()
+    except OSError:
+        pytest.skip("no C toolchain")
+    pts, mask = native.pack_batch([], capacity=16)
+    assert pts.shape == (0, 16, 3) and mask.shape == (0, 16)
+
+    empty = str(tmp_path / "e.bin")
+    open(empty, "wb").close()
+    out = native.load_kitti_bin(empty)
+    assert out.shape == (0, 4)
+
+
 def test_native_pack_batch(rng):
     native = pytest.importorskip("quatro_tpu.native")
     try:

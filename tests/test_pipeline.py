@@ -89,3 +89,62 @@ def test_preprocess_subclustering_toggle(scan_pair):
     # the rejection stage can only shrink the kept set
     assert int(jnp.sum(seg_on)) <= int(jnp.sum(seg_off))
     assert int(jnp.sum(seg_on)) > 0
+
+
+def test_odometry_runner_honors_icp_and_ground_alignment(scan_pair):
+    """The same PipelineConfig must mean the same pipeline regardless of
+    entry point: OdometryRunner.register_pair must apply ICP refinement and
+    ground alignment exactly like pipeline.register_scan_pair (they
+    previously were silently ignored on the odometry path)."""
+    from quatro_tpu.config import (FPFHConfig, GroundAlignmentConfig,
+                                   IcpConfig)
+    from quatro_tpu.odometry import OdometryRunner
+    from quatro_tpu.pipeline import register_scan_pair
+
+    src_xyz, tgt_xyz, gt = scan_pair
+    cfg = PipelineConfig(
+        max_voxels=4096, fpfh=FPFHConfig(max_correspondences=512),
+        icp=IcpConfig(enabled=True, iterations=4, hold_iterations=2),
+        ground_alignment=GroundAlignmentConfig(enabled=True))
+    src = PointBatch.from_numpy(src_xyz, cfg.max_raw_points)
+    tgt = PointBatch.from_numpy(tgt_xyz, cfg.max_raw_points)
+
+    res = register_scan_pair(src, tgt, cfg)
+    runner = OdometryRunner(cfg)
+    fs, ft = runner.extract(src), runner.extract(tgt)
+    assert fs.raw_voxels is not None and fs.level is not None
+    sol = runner.register_pair(fs, ft)
+
+    np.testing.assert_allclose(np.asarray(sol.rotation),
+                               np.asarray(res.solution.rotation), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sol.translation),
+                               np.asarray(res.solution.translation),
+                               atol=1e-3)
+    # and the result is actually good
+    ang = np.rad2deg(float(rotation_geodesic_error(
+        sol.rotation, jnp.asarray(gt[:3, :3].astype(np.float32)))))
+    assert ang < 1.0
+    assert np.linalg.norm(np.asarray(sol.translation) - gt[:3, 3]) < 0.3
+
+
+def test_solution_transform_is_batch_safe(scan_pair):
+    """transform() on a vmapped RegistrationSolution (the documented
+    register_pairs path) must yield (B, 4, 4), not crash."""
+    import jax
+    from quatro_tpu.io.synthetic import make_correspondences
+    from quatro_tpu.solver import register_correspondences
+    from quatro_tpu.config import SolverConfig
+
+    pairs = [make_correspondences(seed=s, n_inliers=30, n_outliers=98)
+             for s in range(3)]
+    src = jnp.stack([jnp.asarray(p[0]) for p in pairs])
+    tgt = jnp.stack([jnp.asarray(p[1]) for p in pairs])
+    mask = jnp.ones(src.shape[:2], bool)
+    sols = jax.vmap(lambda s, t, m: register_correspondences(
+        s, t, m, SolverConfig()))(src, tgt, mask)
+    T = np.asarray(sols.transform())
+    assert T.shape == (3, 4, 4)
+    np.testing.assert_allclose(T[:, 3], np.tile([0, 0, 0, 1], (3, 1)),
+                               atol=0)
+    for k, p in enumerate(pairs):
+        np.testing.assert_allclose(T[k], p[2], atol=0.05)

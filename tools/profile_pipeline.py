@@ -51,14 +51,17 @@ def main():
     total = 0.0
 
     pre = jax.jit(lambda p, m: preprocess(p, m, config))
-    (seg, _), dt = timeit("preprocess (patchwork+proj)", pre, src.points,
-                          src.mask, reps=reps)
+    (seg_s, _), dt = timeit("preprocess (patchwork+proj)", pre, src.points,
+                            src.mask, reps=reps)
     total += 2 * dt
+    seg_t, _ = pre(tgt.points, tgt.mask)
 
     vox = jax.jit(lambda p, m: voxel_downsample(p, m, config.voxel_size,
                                                 config.max_voxels))
-    (vp, vm), dt = timeit("voxel_downsample", vox, src.points, seg, reps=reps)
+    (vp, vm), dt = timeit("voxel_downsample", vox, src.points, seg_s,
+                          reps=reps)
     total += 2 * dt
+    tp, tm = vox(tgt.points, seg_t)
 
     nbr_n = jax.jit(lambda p, m: radius_neighbors(
         p, m, config.fpfh.normal_radius, config.fpfh.max_neighbors_normal))
@@ -77,19 +80,27 @@ def main():
     fp = jax.jit(lambda p, n, nb: compute_fpfh(p, n, nb))
     desc, dt = timeit("compute_fpfh", fp, vp, normals.normals, nf, reps=reps)
     total += 2 * dt
+    t_normals = nrm(tp, nbr_n(tp, tm))
+    t_desc = fp(tp, t_normals.normals, nbr_f(tp, tm))
 
     # NB: pass device arrays as ARGUMENTS, never close over them — a closed-
     # over array becomes an executable constant, and constants are re-staged
     # to the device on every call under the axon relay (100x skew observed).
+    # Match/solve on the REAL src-vs-tgt pair: self-matching would hand the
+    # solver zero-residual input whose GNC while_loop exits after ~1
+    # iteration, understating the solver stage.
     dmask = vm & normals.valid
-    mt = jax.jit(lambda p, d, m: match_features(
-        p, p, d, d, m, m,
+    t_dmask = tm & t_normals.valid
+    mt = jax.jit(lambda sp, tp_, sd, td, sm, tm_: match_features(
+        sp, tp_, sd, td, sm, tm_,
         capacity=config.fpfh.max_correspondences,
+        use_crosscheck=config.fpfh.use_crosscheck,
         use_tuple_test=config.fpfh.use_tuple_test,
         tuple_scale=config.fpfh.tuple_scale,
         trials_per_corr=config.fpfh.tuple_trials_per_corr,
         seed=config.fpfh.tuple_seed))
-    corr, dt = timeit("match_features", mt, vp, desc, dmask, reps=reps)
+    corr, dt = timeit("match_features", mt, vp, tp, desc, t_desc,
+                      dmask, t_dmask, reps=reps)
     total += dt
 
     sv = jax.jit(lambda s, t, m: register_correspondences(s, t, m,
