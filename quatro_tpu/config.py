@@ -248,6 +248,15 @@ class SolverConfig:
     use_pallas_graph: Optional[bool] = None
     # Static cap on clique size (bounds the greedy-growth loop).
     max_clique_size: int = 512
+    # Multi-hypothesis registration (beyond the reference): solve the K
+    # largest mutually-distinct cliques and let the pipeline arbitrate by
+    # geometric overlap (solver/verify.py). Repetitive structure can make
+    # the WRONG clique the largest (planar aliasing); >1 recovers those
+    # pairs at ~K x solver cost (the solver is ~1/3 of pipeline time).
+    # Honored by pipeline.register_features / register_scan_pair and
+    # OdometryRunner (which have the clouds to verify against);
+    # register_correspondences alone always solves the single best clique.
+    num_hypotheses: int = 1
 
     def __post_init__(self):
         if self.reg_name not in ("Quatro", "TEASER"):
@@ -262,6 +271,8 @@ class SolverConfig:
             raise ValueError("noise_bound must be nonzero")
         if self.inlier_selection_mode not in ("clique", "kcore", "none"):
             raise ValueError(f"bad inlier_selection_mode {self.inlier_selection_mode!r}")
+        if self.num_hypotheses < 1:
+            raise ValueError("num_hypotheses must be >= 1")
 
 
 @dataclass(frozen=True)

@@ -108,8 +108,18 @@ class OdometryRunner:
             use_crosscheck=f.use_crosscheck,
             use_tuple_test=f.use_tuple_test, tuple_scale=f.tuple_scale,
             trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed)
-        sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
-                                       cfg.solver)
+        if cfg.solver.num_hypotheses > 1:
+            from quatro_tpu.solver.quatro import register_hypotheses
+            from quatro_tpu.solver.verify import arbitrate_hypotheses
+            sols = register_hypotheses(corr.src_xyz, corr.tgt_xyz,
+                                       corr.mask, cfg.solver,
+                                       k=cfg.solver.num_hypotheses)
+            sol, _ = arbitrate_hypotheses(
+                sols, src.voxels, src.voxel_mask, tgt.voxels,
+                tgt.voxel_mask, radius=2.0 * cfg.voxel_size)
+        else:
+            sol = register_correspondences(corr.src_xyz, corr.tgt_xyz,
+                                           corr.mask, cfg.solver)
         coarse = (sol.rotation, sol.translation)
         if cfg.ground_alignment.enabled:
             from quatro_tpu.solver.ground import (GroundAlignment,

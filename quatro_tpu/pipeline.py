@@ -85,8 +85,22 @@ def register_features(src: PointBatch, tgt: PointBatch,
         trials_per_corr=config.fpfh.tuple_trials_per_corr,
         seed=config.fpfh.tuple_seed)
 
-    sol = register_correspondences(corr.src_xyz, corr.tgt_xyz, corr.mask,
-                                   config.solver)
+    if config.solver.num_hypotheses > 1:
+        # Multi-hypothesis: solve the K largest distinct cliques and keep
+        # the one whose pose actually aligns the voxel clouds (planar
+        # aliasing can make the wrong clique the largest — see
+        # solver/quatro.py::register_hypotheses).
+        from quatro_tpu.solver.quatro import register_hypotheses
+        from quatro_tpu.solver.verify import arbitrate_hypotheses
+        sols = register_hypotheses(corr.src_xyz, corr.tgt_xyz, corr.mask,
+                                   config.solver,
+                                   k=config.solver.num_hypotheses)
+        sol, _ = arbitrate_hypotheses(
+            sols, src_vox.points, src_vox.mask, tgt_vox.points,
+            tgt_vox.mask, radius=2.0 * config.voxel_size)
+    else:
+        sol = register_correspondences(corr.src_xyz, corr.tgt_xyz,
+                                       corr.mask, config.solver)
     icp_res = None
     if config.icp.enabled:
         sol, icp_res = refine_solution(src.points, src.mask,

@@ -85,10 +85,10 @@ def max_kcore(adj: jnp.ndarray, mask: jnp.ndarray):
 
 
 @partial(jax.jit, static_argnames=("num_seeds", "max_size"))
-def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
-                   mask: jnp.ndarray, num_seeds: int = 16,
-                   max_size: int = 512) -> jnp.ndarray:
-    """Grow S greedy cliques in lock-step; return the best clique mask.
+def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
+                        mask: jnp.ndarray, num_seeds: int = 16,
+                        max_size: int = 512) -> jnp.ndarray:
+    """Grow S greedy cliques in lock-step; return all (S, N) clique masks.
 
     seed_scores ranks seed attractiveness (core-membership + degree).
     Each growth round adds, per seed, the candidate with maximal degree
@@ -127,10 +127,62 @@ def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
 
     clique, _, _ = jax.lax.while_loop(
         cond, body, (clique, cand, jnp.asarray(0, jnp.int32)))
+    return clique > 0
 
-    sizes = jnp.sum(clique, axis=1)
-    best = jnp.argmax(sizes)
-    return clique[best] > 0
+
+def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
+                   mask: jnp.ndarray, num_seeds: int = 16,
+                   max_size: int = 512) -> jnp.ndarray:
+    """Best single clique mask from the lock-step greedy growth."""
+    cliques = grow_greedy_cliques(adj, seed_scores, mask,
+                                  num_seeds=num_seeds, max_size=max_size)
+    sizes = jnp.sum(cliques, axis=1)
+    return cliques[jnp.argmax(sizes)]
+
+
+@partial(jax.jit, static_argnames=("k", "min_distinct_frac"))
+def top_distinct_cliques(cliques: jnp.ndarray, k: int,
+                         min_distinct_frac: float = 0.5):
+    """Select the K largest pairwise-DISTINCT cliques from (S, N) masks.
+
+    Multi-hypothesis support: repetitive scenes (building facades, fences)
+    produce several mutually-inconsistent self-consistent cliques, and the
+    LARGEST is not always the correct one — planar aliasing can make the
+    wrong structure win the consensus deterministically. Downstream, each
+    hypothesis is solved and arbitrated by geometric overlap verification
+    (solver/verify.py), which the aliased pose fails.
+
+    Two cliques are 'the same hypothesis' when their intersection covers
+    >= min_distinct_frac of the smaller one. Returns ((K, N) bool masks,
+    (K,) sizes); unfilled slots repeat the best clique with size 0.
+    """
+    s, n = cliques.shape
+    cf = cliques.astype(jnp.float32)
+    sizes = jnp.sum(cf, axis=1)
+    order = jnp.argsort(-sizes)
+    cf = cf[order]
+    sizes = sizes[order]
+    inter = cf @ cf.T                                    # (S, S)
+    min_sz = jnp.minimum(sizes[:, None], sizes[None, :])
+
+    def body(i, state):
+        taken, count = state
+        conflict = taken & (inter[i] >= min_distinct_frac
+                            * jnp.maximum(min_sz[i], 1.0))
+        # singletons (isolated seeds) carry no hypothesis — the reference
+        # aborts on cliques <= 1 (include/quatro.hpp:809-813)
+        ok = (count < k) & ~jnp.any(conflict) & (sizes[i] > 1)
+        return taken.at[i].set(ok), count + ok.astype(jnp.int32)
+
+    taken, _ = jax.lax.fori_loop(
+        0, s, body, (jnp.zeros((s,), bool), jnp.asarray(0, jnp.int32)))
+
+    iota = jnp.arange(s)
+    pick_order = jnp.argsort(jnp.where(taken, iota, s + iota))[:k]
+    picked = cf[pick_order] > 0                          # (K, N)
+    picked_sizes = jnp.where(jnp.arange(k) < jnp.sum(taken),
+                             sizes[pick_order], 0.0)
+    return picked, picked_sizes
 
 
 def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",

@@ -89,6 +89,17 @@ def register_correspondences(
         kcore_threshold=config.kcore_heuristic_threshold,
         num_seeds=config.clique_num_seeds,
         max_size=config.max_clique_size)
+    return _solve_from_inliers(src, tgt, clique_mask, valid, scale,
+                               config, prior_ryrx, has_prior)
+
+
+def _solve_from_inliers(src, tgt, clique_mask, valid, scale,
+                        config: SolverConfig, prior_ryrx, has_prior):
+    """Chain TIMs -> GNC rotation -> COTE translation given a selected
+    inlier set (the reference driver after the clique stage,
+    include/quatro.hpp:817-936). Pure; vmaps over hypothesis sets."""
+    dtype = src.dtype
+    n = src.shape[0]
 
     # --- chain TIMs over the clique (include/quatro.hpp:817-844) ------------
     order, leaf, chain_mask, m = _chain_order(clique_mask)
@@ -174,6 +185,54 @@ def register_correspondences(
         gnc_iterations=gnc.iterations,
         gnc_cost=gnc.cost,
     )
+
+
+@partial(jax.jit, static_argnames=("config", "k"))
+def register_hypotheses(
+        src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
+        config: SolverConfig = SolverConfig(), k: int = 4,
+        prior_ryrx: Optional[jnp.ndarray] = None) -> RegistrationSolution:
+    """Multi-hypothesis solve: the K largest mutually-DISTINCT cliques of
+    the consistency graph, each solved independently (vmap). Returns a
+    RegistrationSolution with a leading K axis, largest-clique first.
+
+    Why: repetitive structure (building facades, fences) yields several
+    self-consistent cliques, and planar aliasing can make the WRONG one
+    the largest — deterministically (measured: a wide-baseline VLP-16
+    edge whose best clique gives exact yaw but 3.2 m of translation,
+    under every matcher seed). The caller arbitrates hypotheses with
+    geometric overlap (solver/verify.py; pipeline/odometry do this when
+    SolverConfig.num_hypotheses > 1). Beyond the reference, which always
+    takes PMC's single max clique (include/quatro.hpp:791-813).
+    """
+    dtype = src.dtype
+    has_prior = prior_ryrx is not None
+    if prior_ryrx is None:
+        prior_ryrx = jnp.eye(3, dtype=dtype)
+
+    if config.estimate_scaling:
+        from quatro_tpu.solver.scale import solve_scale_tls
+        scale, adj = solve_scale_tls(src, tgt, mask, config.noise_bound,
+                                     config.cbar2)
+    else:
+        scale = jnp.asarray(1.0, dtype)
+        adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
+                                    config.cbar2,
+                                    use_pallas=config.use_pallas_graph)
+
+    _, kcore_mask = clique_mod.max_kcore(adj, mask)
+    deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
+    seed_scores = kcore_mask.astype(jnp.float32) * 1e6 + deg
+    grown = clique_mod.grow_greedy_cliques(
+        adj, seed_scores, mask, num_seeds=config.clique_num_seeds,
+        max_size=config.max_clique_size)
+    cliques, sizes = clique_mod.top_distinct_cliques(grown, k)
+    valid_k = sizes > 1
+
+    return jax.vmap(
+        lambda sel, ok: _solve_from_inliers(src, tgt, sel, ok, scale,
+                                            config, prior_ryrx, has_prior)
+    )(cliques, valid_k)
 
 
 def register_batch(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,

@@ -72,3 +72,21 @@ def alignment_overlap(src: jnp.ndarray, src_mask: jnp.ndarray,
     blocks = (p.reshape(-1, row_block, 3), pm.reshape(-1, row_block))
     hits = jnp.sum(jax.lax.map(block_hits, blocks))
     return hits / jnp.maximum(jnp.sum(src_mask), 1)
+
+
+def arbitrate_hypotheses(sols, src: jnp.ndarray, src_mask: jnp.ndarray,
+                         tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
+                         radius: float | jnp.ndarray):
+    """Pick the best of K solution hypotheses by geometric overlap.
+
+    sols: a RegistrationSolution pytree with a leading K axis (from
+    solver.quatro.register_hypotheses). Invalid hypotheses score -1.
+    Returns (winning solution without the K axis, overlaps (K,)).
+    """
+    overlaps = jax.vmap(
+        lambda r, t: alignment_overlap(src, src_mask, tgt, tgt_mask,
+                                       r, t, radius)
+    )(sols.rotation, sols.translation)
+    score = jnp.where(sols.valid, overlaps, -1.0)
+    best = jnp.argmax(score)
+    return jax.tree.map(lambda x: x[best], sols), overlaps

@@ -78,3 +78,71 @@ def test_overlap_gate_accepts_low_inlier_correct_edges(tmp_path):
         f"{res.edges_valid}/{res.edges_total} edges valid"
     assert np.isfinite(res.poses).all()
     assert res.ate_after <= res.ate_before + 0.05
+
+
+def test_top_distinct_cliques_separates_planted_cliques(rng):
+    from quatro_tpu.solver.clique import (grow_greedy_cliques,
+                                          top_distinct_cliques)
+    n = 64
+    adj = np.zeros((n, n), bool)
+    a = list(range(0, 14))      # planted clique A (bigger)
+    b = list(range(20, 30))     # planted clique B (disjoint)
+    for grp in (a, b):
+        for i in grp:
+            for j in grp:
+                if i != j:
+                    adj[i, j] = True
+    mask = jnp.ones(n, bool)
+    deg = jnp.asarray(adj, jnp.float32) @ mask.astype(jnp.float32)
+    grown = grow_greedy_cliques(jnp.asarray(adj), deg, mask, num_seeds=32)
+    cliques, sizes = top_distinct_cliques(grown, 3)
+    cliques, sizes = np.asarray(cliques), np.asarray(sizes)
+    assert sizes[0] == 14 and sizes[1] == 10 and sizes[2] == 0
+    assert cliques[0, a].all() and not cliques[0, b].any()
+    assert cliques[1, b].all() and not cliques[1, a].any()
+
+
+def test_multi_hypothesis_beats_aliased_larger_clique(rng):
+    """Planar-aliasing regression: the LARGEST self-consistent clique
+    carries a wrong translation; overlap arbitration across the top-K
+    distinct cliques must pick the smaller, correct hypothesis (the
+    single-clique solve provably returns the wrong pose here)."""
+    from quatro_tpu.config import SolverConfig
+    from quatro_tpu.solver import register_correspondences
+    from quatro_tpu.solver.quatro import register_hypotheses
+    from quatro_tpu.solver.verify import arbitrate_hypotheses
+
+    # scene cloud + its exactly transformed copy
+    cloud = (rng.uniform(-1, 1, (600, 3)) *
+             np.array([30, 30, 3])).astype(np.float32)
+    rot = _yaw_rot(0.6)
+    t_true = np.array([4.0, -2.0, 0.5], np.float32)
+    tgt_cloud = cloud @ rot.T + t_true
+    m_cloud = np.ones(len(cloud), bool)
+
+    # correspondences: 10 correct, 16 aliased by a 3 m in-scene shift
+    # (mutually consistent among themselves!), 38 random junk
+    n = 64
+    src_c = cloud[:n].copy()
+    tgt_c = src_c @ rot.T + t_true
+    alias = slice(10, 26)
+    t_alias = t_true + rot @ np.array([3.0, 0, 0], np.float32)
+    tgt_c[alias] = src_c[alias] @ rot.T + t_alias
+    junk = slice(26, None)
+    tgt_c[junk] = rng.uniform(-40, 40, (n - 26, 3)).astype(np.float32)
+    mask = jnp.ones(n, bool)
+
+    cfg = SolverConfig()
+    single = register_correspondences(jnp.asarray(src_c),
+                                      jnp.asarray(tgt_c), mask, cfg)
+    assert np.linalg.norm(np.asarray(single.translation) - t_true) > 2.0, \
+        "fixture must make the aliased clique win the single solve"
+
+    sols = register_hypotheses(jnp.asarray(src_c), jnp.asarray(tgt_c),
+                               mask, cfg, k=4)
+    best, overlaps = arbitrate_hypotheses(
+        sols, jnp.asarray(cloud), jnp.asarray(m_cloud),
+        jnp.asarray(tgt_cloud), jnp.asarray(m_cloud), radius=0.3)
+    assert np.linalg.norm(np.asarray(best.translation) - t_true) < 0.1
+    assert np.degrees(np.abs(np.arctan2(best.rotation[1, 0],
+                                        best.rotation[0, 0]) - 0.6)) < 0.5
