@@ -60,7 +60,9 @@ def _build_config(args):
                             noise_bound=args.noise_bound,
                             rotation_gnc_factor=args.gnc_factor,
                             rotation_max_iterations=args.num_max_iter,
-                            rotation_cost_threshold=args.rot_cost_diff_thr))
+                            rotation_cost_threshold=args.rot_cost_diff_thr,
+                            num_hypotheses=getattr(args, "num_hypotheses",
+                                                   1)))
 
 
 def _enable_compile_cache():
@@ -223,6 +225,10 @@ def main(argv=None) -> int:
                         "(FPFHConfig.for_lidar) instead of the KITTI "
                         "defaults — recommended for sparse sensors")
     r.add_argument("--noise-bound", type=float, default=0.3)
+    r.add_argument("--num-hypotheses", type=int, default=1,
+                   help="solve the K largest distinct cliques and keep the "
+                        "best by geometric overlap — recovers repetitive-"
+                        "structure (planar aliasing) failures")
     r.add_argument("--gnc-factor", type=float, default=1.4)
     r.add_argument("--num-max-iter", type=int, default=50)
     r.add_argument("--rot-cost-diff-thr", type=float, default=0.00011)
@@ -251,6 +257,7 @@ def main(argv=None) -> int:
     e.add_argument("--lidar-type", default="Velodyne-64-HDE")
     e.add_argument("--max-voxels", type=int, default=8192)
     e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--num-hypotheses", type=int, default=1)
     e.add_argument("--cache-dir", default="/root/repo/.scan_cache",
                    help="disk cache for generated scan pairs")
     e.add_argument("--tilt-deg", type=float, default=0.0,
@@ -284,9 +291,12 @@ def cmd_evaluate(args) -> int:
     from quatro_tpu.config import (GroundAlignmentConfig, IcpConfig,
                                    LidarConfig, PipelineConfig)
     from quatro_tpu.eval import evaluate_loop_closures
+    from quatro_tpu.config import SolverConfig
     config = PipelineConfig(
         lidar=LidarConfig.preset(args.lidar_type),
         max_voxels=args.max_voxels,
+        solver=SolverConfig(num_hypotheses=getattr(args, "num_hypotheses",
+                                                   1)),
         ground_alignment=GroundAlignmentConfig(
             enabled=getattr(args, "ground_alignment", False)),
         icp=IcpConfig(enabled=getattr(args, "refine", False)))
