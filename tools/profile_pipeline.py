@@ -7,8 +7,12 @@ equivalent is its chrono stage tables, run_global_registration.cpp:248-251).
 Usage: python tools/profile_pipeline.py [n_reps]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
