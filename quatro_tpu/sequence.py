@@ -101,12 +101,17 @@ def run_sequence(scans: Sequence[PointBatch],
                  gn_iters: int = 10, cg_iters: int = 40,
                  checkpoint_dir: Optional[str] = None,
                  checkpoint_every: int = 8,
-                 batch_size: int = 16) -> SequenceResult:
+                 batch_size: int = 16,
+                 use_place_recognition: Optional[bool] = None,
+                 place_recognition_max_distance: float = 0.5
+                 ) -> SequenceResult:
     """Register a scan sequence and close its loops.
 
-    loop_candidates: (i, j) index pairs to attempt as closures; if None and
-    gt_poses is given, candidates are taken by pose proximity (stand-in for
-    a place-recognition front end).
+    loop_candidates: (i, j) index pairs to attempt as closures. If None,
+    candidates come from Scan Context place recognition over the scans
+    themselves (ops/scancontext.py) — unless gt_poses is given AND
+    use_place_recognition is not forced True, in which case pose
+    proximity serves as a controlled oracle for benchmarking.
 
     checkpoint_dir: if set, the run is resumable — per-frame features and
     the edge log persist to disk (the reference has no solver-state
@@ -149,13 +154,24 @@ def run_sequence(scans: Sequence[PointBatch],
                 save_frame_features(_feat_path(k), feats[-1])
 
     # --- edge plan: odometry edges first, then loop candidates --------------
-    if loop_candidates is None and gt_poses is not None:
-        loop_candidates = []
-        for i in range(m):
-            for j in range(i + min_gap + 1, m):
-                if np.linalg.norm(gt_poses[i, :3] - gt_poses[j, :3]) \
-                        < loop_radius:
-                    loop_candidates.append((i, j))
+    if use_place_recognition is None:
+        use_place_recognition = gt_poses is None
+    if loop_candidates is None:
+        if use_place_recognition:
+            from quatro_tpu.ops.scancontext import (detect_loop_candidates,
+                                                    scan_context)
+            descs = jnp.stack([scan_context(s.points, s.mask)
+                               for s in scans])
+            loop_candidates = detect_loop_candidates(
+                descs, min_gap=min_gap,
+                max_distance=place_recognition_max_distance)
+        elif gt_poses is not None:
+            loop_candidates = []
+            for i in range(m):
+                for j in range(i + min_gap + 1, m):
+                    if np.linalg.norm(gt_poses[i, :3] - gt_poses[j, :3]) \
+                            < loop_radius:
+                        loop_candidates.append((i, j))
     loop_candidates = loop_candidates or []
     plan = [(k, k + 1) for k in range(m - 1)] + list(loop_candidates)
 

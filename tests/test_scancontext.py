@@ -1,0 +1,92 @@
+"""Scan Context place recognition (ops/scancontext.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quatro_tpu.ops.scancontext import (detect_loop_candidates, ring_key,
+                                        sc_distance, scan_context)
+
+
+def _scan(scene, xyz, yaw, lidar, seed=0):
+    from quatro_tpu.io.synthetic import raycast_scan
+    return raycast_scan(scene, np.asarray(xyz, float), yaw, lidar=lidar,
+                        seed=seed)
+
+
+@pytest.fixture(scope="module")
+def scene_and_lidar():
+    from quatro_tpu.config import LidarConfig
+    from quatro_tpu.io.synthetic import make_scene
+    return make_scene(seed=3), LidarConfig.preset("VLP-16")
+
+
+def _desc(xyz):
+    pts = jnp.asarray(xyz)
+    return scan_context(pts, jnp.ones(pts.shape[0], bool))
+
+
+def test_same_place_any_heading_beats_other_places(scene_and_lidar):
+    scene, lidar = scene_and_lidar
+    here = [0.0, 0.0, 1.7]
+    d0 = _desc(_scan(scene, here, 0.0, lidar, seed=1))
+    d_rot = _desc(_scan(scene, here, np.deg2rad(135.0), lidar, seed=2))
+    d_near = _desc(_scan(scene, [1.0, -0.5, 1.7], np.deg2rad(-60.0),
+                         lidar, seed=3))
+    d_far = _desc(_scan(scene, [35.0, 28.0, 1.7], 0.0, lidar, seed=4))
+
+    same = float(sc_distance(d0, d_rot))
+    near = float(sc_distance(d0, d_near))
+    far = float(sc_distance(d0, d_far))
+    # revisiting the same spot at a different heading must score closer
+    # than a different place, despite the 135-degree yaw change; a 1.1 m
+    # displaced revisit must still clear the default 0.5 threshold
+    assert same < 0.15, same
+    assert near < 0.5, near
+    assert same < far and near < far
+    assert far > 0.6, far
+
+
+def test_ring_key_is_rotation_invariant(scene_and_lidar):
+    scene, lidar = scene_and_lidar
+    d0 = _desc(_scan(scene, [2.0, 3.0, 1.7], 0.0, lidar, seed=5))
+    k0 = np.asarray(ring_key(d0))
+    k_roll = np.asarray(ring_key(jnp.roll(d0, 17, axis=-1)))
+    np.testing.assert_allclose(k0, k_roll, atol=1e-7)
+    assert k0.shape == (d0.shape[0],)
+
+
+def test_detect_loop_candidates_finds_the_revisit(scene_and_lidar):
+    scene, lidar = scene_and_lidar
+    spots = [[0, 0], [8, 0], [16, 4], [24, 12], [16, 20], [8, 14], [0.5, 0.6]]
+    descs = []
+    for k, (x, y) in enumerate(spots):
+        yaw = np.deg2rad(40.0 * k)
+        descs.append(_desc(_scan(scene, [x, y, 1.7], yaw, lidar, seed=10 + k)))
+    cands = detect_loop_candidates(jnp.stack(descs), min_gap=3)
+    assert (0, 6) in cands, cands   # frame 6 revisits frame 0's spot
+    # no candidate should pair genuinely distinct places
+    for i, j in cands:
+        dx = np.hypot(spots[i][0] - spots[j][0], spots[i][1] - spots[j][1])
+        assert dx < 8.0, f"false loop candidate {(i, j)} at {dx:.1f} m"
+
+
+@pytest.mark.slow
+def test_sequence_closes_loops_without_ground_truth(tmp_path):
+    """The full no-oracle trajectory path: place recognition supplies the
+    loop candidates (gt used ONLY for the ATE metric)."""
+    from quatro_tpu.config import PipelineConfig
+    from quatro_tpu.sequence import make_synthetic_sequence, run_sequence
+
+    cfg = PipelineConfig.for_lidar("VLP-16", max_voxels=2048)
+    scans, gt = make_synthetic_sequence(num_poses=12, seed=1, radius=6.0,
+                                        config=cfg, raw_capacity=32768,
+                                        cache_dir=str(tmp_path))
+    res = run_sequence(scans, cfg, gt_poses=gt, use_place_recognition=True)
+    assert res.edges_total > len(scans) - 1, \
+        "place recognition found no loop candidates"
+    assert res.edges_valid >= res.edges_total * 0.6
+    assert np.isfinite(res.ate_after)
+    assert res.ate_after <= res.ate_before + 0.05
+    assert res.ate_after < 1.0, res.ate_after
