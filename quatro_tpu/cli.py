@@ -270,6 +270,34 @@ def main(argv=None) -> int:
                    help="polish with on-device point-to-plane ICP")
     e.set_defaults(fn=cmd_evaluate)
 
+    q = sub.add_parser(
+        "sequence",
+        help="register a scan sequence: odometry + place-recognition loop "
+             "closing + pose-graph solve (resumable)")
+    q.add_argument("scans", nargs="*",
+                   help=".bin scan files in order (or a directory of them)")
+    q.add_argument("--synthetic", type=int, default=0, metavar="N",
+                   help="use an N-pose synthetic loop instead of files")
+    q.add_argument("--seed", type=int, default=0)
+    q.add_argument("--radius", type=float, default=8.0,
+                   help="synthetic loop radius (m)")
+    q.add_argument("--lidar-type", default="Velodyne-64-HDE")
+    q.add_argument("--auto-radii", action="store_true")
+    q.add_argument("--max-raw-points", type=int, default=131072)
+    q.add_argument("--max-voxels", type=int, default=8192)
+    q.add_argument("--num-hypotheses", type=int, default=1)
+    q.add_argument("--ground-alignment", action="store_true")
+    q.add_argument("--refine", action="store_true",
+                   help="point-to-plane ICP polish on every edge")
+    q.add_argument("--min-edge-overlap", type=float, default=0.35)
+    q.add_argument("--min-edge-inliers", type=int, default=2)
+    q.add_argument("--batch-size", type=int, default=16)
+    q.add_argument("--checkpoint-dir", default=None,
+                   help="make the run resumable (features + edge log)")
+    q.add_argument("--poses-out", default=None,
+                   help="write optimized poses as TUM-format trajectory")
+    q.set_defaults(fn=cmd_sequence)
+
     s = sub.add_parser("sweep",
                        help="correspondence-level outlier-robustness sweep")
     s.add_argument("--rates", type=float, nargs="+",
@@ -304,6 +332,76 @@ def cmd_evaluate(args) -> int:
                                     cache_dir=args.cache_dir,
                                     tilt_deg=getattr(args, "tilt_deg", 0.0))
     print(json.dumps(report.summary()))
+    return 0
+
+
+def cmd_sequence(args) -> int:
+    """Trajectory mode: odometry + loop closing, the Quatro++ use case the
+    reference's one-pair demo cannot express."""
+    import os
+
+    import numpy as np
+
+    _enable_compile_cache()
+    from quatro_tpu.config import (FPFHConfig, GroundAlignmentConfig,
+                                   IcpConfig, LidarConfig, PipelineConfig,
+                                   SolverConfig)
+    from quatro_tpu.sequence import make_synthetic_sequence, run_sequence
+
+    lidar = LidarConfig.preset(args.lidar_type)
+    fpfh = (FPFHConfig.for_lidar(lidar) if args.auto_radii else FPFHConfig())
+    config = PipelineConfig(
+        lidar=lidar, fpfh=fpfh,
+        max_raw_points=args.max_raw_points, max_voxels=args.max_voxels,
+        solver=SolverConfig(num_hypotheses=args.num_hypotheses),
+        ground_alignment=GroundAlignmentConfig(
+            enabled=args.ground_alignment),
+        icp=IcpConfig(enabled=args.refine))
+
+    gt = None
+    if args.synthetic:
+        scans, gt = make_synthetic_sequence(
+            num_poses=args.synthetic, seed=args.seed, radius=args.radius,
+            config=config, raw_capacity=args.max_raw_points)
+    else:
+        from quatro_tpu.io.kitti import load_kitti_bin
+        from quatro_tpu.types import PointBatch
+        paths = list(args.scans)
+        if len(paths) == 1 and os.path.isdir(paths[0]):
+            paths = sorted(
+                os.path.join(paths[0], f) for f in os.listdir(paths[0])
+                if f.endswith(".bin"))
+        if len(paths) < 2:
+            raise SystemExit("sequence needs >= 2 scans (or --synthetic N)")
+        scans = [PointBatch.from_numpy(load_kitti_bin(p),
+                                       args.max_raw_points) for p in paths]
+
+    res = run_sequence(scans, config, gt_poses=gt,
+                       use_place_recognition=True,
+                       min_edge_overlap=args.min_edge_overlap,
+                       min_edge_inliers=args.min_edge_inliers,
+                       batch_size=args.batch_size,
+                       checkpoint_dir=args.checkpoint_dir)
+
+    if args.poses_out:
+        # TUM format: timestamp tx ty tz qx qy qz qw (yaw-only quaternion)
+        with open(args.poses_out, "w") as f:
+            for k, p in enumerate(res.poses):
+                h = 0.5 * p[3]
+                f.write(f"{k:.1f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        f"0.0 0.0 {np.sin(h):.6f} {np.cos(h):.6f}\n")
+
+    print(json.dumps({
+        "frames": len(scans),
+        "edges_total": res.edges_total,
+        "edges_valid": res.edges_valid,
+        "loop_candidates": res.edges_total - (len(scans) - 1),
+        "ate_before": None if np.isnan(res.ate_before)
+        else round(res.ate_before, 4),
+        "ate_after": None if np.isnan(res.ate_after)
+        else round(res.ate_after, 4),
+        "wall_s": round(res.wall_s, 2),
+        "poses_out": args.poses_out}))
     return 0
 
 

@@ -57,3 +57,28 @@ def test_cli_register_kitti_bins(tmp_path, capsys):
     out = capsys.readouterr().out
     line = [l for l in out.splitlines() if l.startswith("{")][-1]
     assert json.loads(line)["valid"] is True
+
+
+@pytest.mark.slow
+def test_cli_sequence_synthetic(tmp_path, capsys):
+    """Trajectory mode end-to-end: synthetic loop, place recognition,
+    checkpointing, TUM pose export."""
+    poses_out = str(tmp_path / "poses.tum")
+    rc = main(["sequence", "--synthetic", "6", "--radius", "6",
+               "--lidar-type", "VLP-16", "--auto-radii",
+               "--max-raw-points", "32768", "--max-voxels", "2048",
+               "--checkpoint-dir", str(tmp_path / "ckpt"),
+               "--poses-out", poses_out])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["frames"] == 6
+    assert res["edges_valid"] >= 5
+    assert res["ate_after"] is not None
+    rows = [l.split() for l in open(poses_out).read().splitlines()]
+    assert len(rows) == 6 and all(len(r) == 8 for r in rows)
+    # resumable: checkpoint artifacts exist
+    ck = tmp_path / "ckpt"
+    assert (ck / "edges.npz").exists()
+    assert any(f.startswith("feat_") for f in os.listdir(ck))
