@@ -294,6 +294,8 @@ def main(argv=None) -> int:
     q.add_argument("--batch-size", type=int, default=16)
     q.add_argument("--checkpoint-dir", default=None,
                    help="make the run resumable (features + edge log)")
+    q.add_argument("--cache-dir", default="/root/repo/.scan_cache",
+                   help="ray-cast cache for --synthetic scans")
     q.add_argument("--poses-out", default=None,
                    help="write optimized poses as TUM-format trajectory")
     q.set_defaults(fn=cmd_sequence)
@@ -362,7 +364,8 @@ def cmd_sequence(args) -> int:
     if args.synthetic:
         scans, gt = make_synthetic_sequence(
             num_poses=args.synthetic, seed=args.seed, radius=args.radius,
-            config=config, raw_capacity=args.max_raw_points)
+            config=config, raw_capacity=args.max_raw_points,
+            cache_dir=args.cache_dir)
     else:
         from quatro_tpu.io.kitti import load_kitti_bin
         from quatro_tpu.types import PointBatch

@@ -98,7 +98,8 @@ class OdometryRunner:
     def _register_impl(self, src: FrameFeatures, tgt: FrameFeatures):
         """Returns (final solution in RAW frames, correspondences,
         feature-frame coarse pose (rotation, translation) for overlap
-        verification against the stored — possibly leveled — voxels)."""
+        verification against the stored — possibly leveled — voxels,
+        coarse-pose overlap or None when not already computed)."""
         cfg = self.config
         f = cfg.fpfh
         corr = match_features(
@@ -108,15 +109,19 @@ class OdometryRunner:
             use_crosscheck=f.use_crosscheck,
             use_tuple_test=f.use_tuple_test, tuple_scale=f.tuple_scale,
             trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed)
+        overlap = None
         if cfg.solver.num_hypotheses > 1:
             from quatro_tpu.solver.quatro import register_hypotheses
             from quatro_tpu.solver.verify import arbitrate_hypotheses
             sols = register_hypotheses(corr.src_xyz, corr.tgt_xyz,
                                        corr.mask, cfg.solver,
                                        k=cfg.solver.num_hypotheses)
-            sol, _ = arbitrate_hypotheses(
+            sol, overlaps = arbitrate_hypotheses(
                 sols, src.voxels, src.voxel_mask, tgt.voxels,
                 tgt.voxel_mask, radius=2.0 * cfg.voxel_size)
+            # arbitration already scored the winner against the clouds —
+            # don't pay the (V x V) overlap pass again downstream
+            overlap = jnp.max(jnp.where(sols.valid, overlaps, -1.0))
         else:
             sol = register_correspondences(corr.src_xyz, corr.tgt_xyz,
                                            corr.mask, cfg.solver)
@@ -140,16 +145,18 @@ class OdometryRunner:
                 sol.rotation, sol.translation, cfg.icp, valid=sol.valid)
             sol = sol.replace(rotation=icp_res.rotation,
                               translation=icp_res.translation)
-        return sol, corr, coarse
+        return sol, corr, coarse, overlap
 
     def _register_verify_impl(self, src: FrameFeatures, tgt: FrameFeatures):
-        sol, _, (rot_c, t_c) = self._register_impl(src, tgt)
+        sol, _, (rot_c, t_c), overlap = self._register_impl(src, tgt)
         # Overlap is verified with the COARSE feature-frame pose: the
         # stored voxels live in the (possibly leveled) feature frames, and
-        # ICP cannot rescue a wrong coarse pose anyway.
-        overlap = alignment_overlap(
-            src.voxels, src.voxel_mask, tgt.voxels, tgt.voxel_mask,
-            rot_c, t_c, radius=2.0 * self.config.voxel_size)
+        # ICP cannot rescue a wrong coarse pose anyway. The hypothesis
+        # path already scored the winner during arbitration.
+        if overlap is None:
+            overlap = alignment_overlap(
+                src.voxels, src.voxel_mask, tgt.voxels, tgt.voxel_mask,
+                rot_c, t_c, radius=2.0 * self.config.voxel_size)
         return sol, overlap
 
     def extract(self, scan: PointBatch) -> FrameFeatures:
@@ -162,13 +169,13 @@ class OdometryRunner:
         feats = self.extract(scan)
         sol = None
         if self._prev is not None:
-            sol, _, _ = self._register(self._prev, feats)
+            sol, *_ = self._register(self._prev, feats)
         self._prev = feats
         return sol
 
     def register_pair(self, src: FrameFeatures,
                       tgt: FrameFeatures) -> RegistrationSolution:
-        sol, _, _ = self._register(src, tgt)
+        sol, *_ = self._register(src, tgt)
         return sol
 
     def register_pairs(self, src: FrameFeatures, tgt: FrameFeatures

@@ -92,27 +92,40 @@ def sc_distance(query: jnp.ndarray, cand: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - jnp.max(sim)
 
 
+@partial(jax.jit, static_argnames=("ring_prune",))
+def _best_earlier_match(descs, keys, j, pool, ring_prune: int):
+    """(best index, best distance) among frames < pool for query frame j.
+    Fixed shapes for every j: the candidate pool is masked, not sliced, so
+    ONE compiled program serves the whole sequence (remote compiles cost
+    minutes per distinct shape — see CLAUDE.md)."""
+    m = keys.shape[0]
+    in_pool = jnp.arange(m) < pool
+    kd = jnp.where(in_pool,
+                   jnp.sum(jnp.abs(keys - keys[j]), axis=-1), jnp.inf)
+    _, idx = jax.lax.top_k(-kd, ring_prune)
+    dists = jax.vmap(lambda i: sc_distance(descs[j], descs[i]))(idx)
+    dists = jnp.where(in_pool[idx], dists, jnp.inf)
+    best = jnp.argmin(dists)
+    return idx[best], dists[best]
+
+
 def detect_loop_candidates(descs: jnp.ndarray, min_gap: int = 3,
                            max_distance: float = 0.5,
                            ring_prune: int = 10) -> List[Tuple[int, int]]:
-    """Loop-closure candidate pairs (i, j), i < j, from (M, R, S)
-    descriptors: for each frame j, prune earlier frames (gap >= min_gap)
-    by ring-key L1 distance to `ring_prune` survivors, score those with
-    the full shifted-cosine distance, and keep the best if it clears
-    `max_distance`. Host-side loop over frames (M is small); each step's
-    math is jitted."""
-    import numpy as np
-
+    """Loop-closure candidate pairs (i, j), i < j with j - i > min_gap
+    (matching run_sequence's gt-proximity oracle), from (M, R, S)
+    descriptors: for each frame j, prune earlier frames by ring-key L1
+    distance to `ring_prune` survivors, score those with the full
+    shifted-cosine distance, and keep the best if it clears
+    `max_distance`. Host-side loop over frames (M is small); the per-frame
+    math is one fixed-shape jitted program."""
     descs = jnp.asarray(descs)
     m = descs.shape[0]
     keys = jax.vmap(ring_key)(descs)                 # (M, R)
+    prune = min(ring_prune, max(m - min_gap - 1, 1))
     out: List[Tuple[int, int]] = []
     for j in range(min_gap + 1, m):
-        kd = jnp.sum(jnp.abs(keys[:j - min_gap] - keys[j]), axis=-1)
-        k = min(ring_prune, j - min_gap)
-        _, idx = jax.lax.top_k(-kd, k)
-        dists = jax.vmap(lambda i: sc_distance(descs[j], descs[i]))(idx)
-        best = int(jnp.argmin(dists))
-        if float(dists[best]) <= max_distance:
-            out.append((int(idx[best]), j))
+        i, d = _best_earlier_match(descs, keys, j, j - min_gap, prune)
+        if float(d) <= max_distance:
+            out.append((int(i), j))
     return out

@@ -140,9 +140,19 @@ def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
     return cliques[jnp.argmax(sizes)]
 
 
-@partial(jax.jit, static_argnames=("k", "min_distinct_frac"))
+def clique_seed_scores(adj: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Seed attractiveness for greedy growth: max-core membership
+    dominates, degree breaks ties (shared by select_inliers and
+    register_hypotheses so the two paths cannot drift)."""
+    _, kcore_mask = max_kcore(adj, mask)
+    deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
+    return kcore_mask.astype(jnp.float32) * 1e6 + deg
+
+
+@partial(jax.jit, static_argnames=("k", "min_distinct_frac", "force_first"))
 def top_distinct_cliques(cliques: jnp.ndarray, k: int,
-                         min_distinct_frac: float = 0.5):
+                         min_distinct_frac: float = 0.5,
+                         force_first: bool = False):
     """Select the K largest pairwise-DISTINCT cliques from (S, N) masks.
 
     Multi-hypothesis support: repetitive scenes (building facades, fences)
@@ -153,13 +163,20 @@ def top_distinct_cliques(cliques: jnp.ndarray, k: int,
     (solver/verify.py), which the aliased pose fails.
 
     Two cliques are 'the same hypothesis' when their intersection covers
-    >= min_distinct_frac of the smaller one. Returns ((K, N) bool masks,
-    (K,) sizes); unfilled slots repeat the best clique with size 0.
+    >= min_distinct_frac of the smaller one. With force_first, row 0 of
+    `cliques` is always the first selection regardless of size (used to
+    pin hypothesis 0 to the configured single-solve selection). Returns
+    ((K, N) bool masks, (K,) sizes); unfilled slots repeat the best
+    clique with size 0. k is clamped to the number of rows.
     """
     s, n = cliques.shape
+    k = min(k, s)
     cf = cliques.astype(jnp.float32)
     sizes = jnp.sum(cf, axis=1)
-    order = jnp.argsort(-sizes)
+    sort_key = sizes
+    if force_first:
+        sort_key = sizes + jnp.zeros_like(sizes).at[0].set(1e9)
+    order = jnp.argsort(-sort_key)
     cf = cf[order]
     sizes = sizes[order]
     inter = cf @ cf.T                                    # (S, S)
@@ -210,10 +227,8 @@ def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
             # reference: src/graph.cc:67-82 — keep vertices of max core.
             sel = kcore_sel
         else:
-            deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
-            seed_scores = kcore_mask.astype(jnp.float32) * 1e6 + deg
-            clique_sel = greedy_cliques(adj, seed_scores, mask,
-                                        num_seeds=num_seeds,
+            clique_sel = greedy_cliques(adj, clique_seed_scores(adj, mask),
+                                        mask, num_seeds=num_seeds,
                                         max_size=max_size) & mask
             # k-core shortcut (reference: src/graph.cc:70-82): when the max
             # core NUMBER reaches kcore_threshold * |V|, the core is already

@@ -36,6 +36,23 @@ from quatro_tpu.utils.se3 import rotate_points
 from quatro_tpu.types import RegistrationSolution
 
 
+def _consistency_inputs(src, tgt, mask, config: SolverConfig):
+    """(scale, adjacency) — the solver preamble shared by the single- and
+    multi-hypothesis paths so their graph construction cannot drift."""
+    if config.estimate_scaling:
+        # TLS scale extension (the reference's flag is inert; see
+        # solve_scale_tls). The scale-aware consistency adjacency comes
+        # straight from the scale solver's inlier test.
+        from quatro_tpu.solver.scale import solve_scale_tls
+        return solve_scale_tls(src, tgt, mask, config.noise_bound,
+                               config.cbar2)
+    scale = jnp.asarray(1.0, src.dtype)  # reference: include/quatro.hpp:361
+    adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
+                                config.cbar2,
+                                use_pallas=config.use_pallas_graph)
+    return scale, adj
+
+
 def _chain_order(inlier_mask: jnp.ndarray):
     """Sorted clique indices + cyclic successor, with static shapes.
 
@@ -66,24 +83,11 @@ def register_correspondences(
     (reference: include/quatro.hpp:276-279,419-426,892).
     """
     dtype = src.dtype
-    n = src.shape[0]
     has_prior = prior_ryrx is not None
     if prior_ryrx is None:
         prior_ryrx = jnp.eye(3, dtype=dtype)
 
-    # --- scale + consistency graph + inlier selection -----------------------
-    if config.estimate_scaling:
-        # TLS scale extension (the reference's flag is inert; see
-        # solve_scale_tls). The scale-aware consistency adjacency comes
-        # straight from the scale solver's inlier test.
-        from quatro_tpu.solver.scale import solve_scale_tls
-        scale, adj = solve_scale_tls(src, tgt, mask, config.noise_bound,
-                                     config.cbar2)
-    else:
-        scale = jnp.asarray(1.0, dtype)  # reference: include/quatro.hpp:361
-        adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
-                                    config.cbar2,
-                                    use_pallas=config.use_pallas_graph)
+    scale, adj = _consistency_inputs(src, tgt, mask, config)
     clique_mask, valid = clique_mod.select_inliers(
         adj, mask, mode=config.inlier_selection_mode,
         kcore_threshold=config.kcore_heuristic_threshold,
@@ -204,29 +208,29 @@ def register_hypotheses(
     geometric overlap (solver/verify.py; pipeline/odometry do this when
     SolverConfig.num_hypotheses > 1). Beyond the reference, which always
     takes PMC's single max clique (include/quatro.hpp:791-813).
+
+    Hypothesis 0 is EXACTLY the configured single-solve selection
+    (select_inliers with inlier_selection_mode / the k-core shortcut), so
+    raising K is a strict superset of the K=1 behavior; hypotheses 1..K-1
+    are the next largest greedy cliques distinct from it and each other.
     """
     dtype = src.dtype
     has_prior = prior_ryrx is not None
     if prior_ryrx is None:
         prior_ryrx = jnp.eye(3, dtype=dtype)
 
-    if config.estimate_scaling:
-        from quatro_tpu.solver.scale import solve_scale_tls
-        scale, adj = solve_scale_tls(src, tgt, mask, config.noise_bound,
-                                     config.cbar2)
-    else:
-        scale = jnp.asarray(1.0, dtype)
-        adj = tim_consistency_graph(src, tgt, mask, config.noise_bound,
-                                    config.cbar2,
-                                    use_pallas=config.use_pallas_graph)
-
-    _, kcore_mask = clique_mod.max_kcore(adj, mask)
-    deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
-    seed_scores = kcore_mask.astype(jnp.float32) * 1e6 + deg
-    grown = clique_mod.grow_greedy_cliques(
-        adj, seed_scores, mask, num_seeds=config.clique_num_seeds,
+    scale, adj = _consistency_inputs(src, tgt, mask, config)
+    sel0, _ = clique_mod.select_inliers(
+        adj, mask, mode=config.inlier_selection_mode,
+        kcore_threshold=config.kcore_heuristic_threshold,
+        num_seeds=config.clique_num_seeds,
         max_size=config.max_clique_size)
-    cliques, sizes = clique_mod.top_distinct_cliques(grown, k)
+    grown = clique_mod.grow_greedy_cliques(
+        adj, clique_mod.clique_seed_scores(adj, mask), mask,
+        num_seeds=config.clique_num_seeds,
+        max_size=config.max_clique_size)
+    cliques, sizes = clique_mod.top_distinct_cliques(
+        jnp.concatenate([sel0[None], grown]), k, force_first=True)
     valid_k = sizes > 1
 
     return jax.vmap(

@@ -146,3 +146,34 @@ def test_multi_hypothesis_beats_aliased_larger_clique(rng):
     assert np.linalg.norm(np.asarray(best.translation) - t_true) < 0.1
     assert np.degrees(np.abs(np.arctan2(best.rotation[1, 0],
                                         best.rotation[0, 0]) - 0.6)) < 0.5
+
+
+def test_hypothesis_zero_matches_single_solve(rng):
+    """register_hypotheses[0] must be EXACTLY the configured single-solve
+    selection (any inlier_selection_mode, incl. the k-core shortcut), so
+    raising num_hypotheses is a strict superset of the K=1 behavior."""
+    from quatro_tpu.config import SolverConfig, replace as cfg_replace
+    from quatro_tpu.io.synthetic import make_correspondences
+    from quatro_tpu.solver import register_correspondences
+    from quatro_tpu.solver.quatro import register_hypotheses
+
+    src, tgt, _, _ = make_correspondences(seed=5, n_inliers=40,
+                                          n_outliers=88)
+    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
+    mask = jnp.ones(src.shape[0], bool)
+    for mode, thr in (("clique", 0.5), ("clique", 0.0), ("kcore", 0.5)):
+        cfg = SolverConfig(inlier_selection_mode=mode,
+                           kcore_heuristic_threshold=thr)
+        single = register_correspondences(src, tgt, mask, cfg)
+        sols = register_hypotheses(src, tgt, mask, cfg, k=3)
+        np.testing.assert_array_equal(
+            np.asarray(sols.max_clique_mask[0]),
+            np.asarray(single.max_clique_mask), err_msg=f"{mode}/{thr}")
+        np.testing.assert_allclose(np.asarray(sols.translation[0]),
+                                   np.asarray(single.translation),
+                                   atol=1e-6, err_msg=f"{mode}/{thr}")
+        assert bool(sols.valid[0]) == bool(single.valid)
+    # k larger than the seed count must clamp, not crash
+    sols = register_hypotheses(src, tgt, mask,
+                               SolverConfig(clique_num_seeds=16), k=64)
+    assert sols.valid.shape[0] == 17  # sel0 + 16 grown seeds
