@@ -298,6 +298,9 @@ def main(argv=None) -> int:
                    help="ray-cast cache for --synthetic scans")
     q.add_argument("--poses-out", default=None,
                    help="write optimized poses as TUM-format trajectory")
+    q.add_argument("--trajectory-ply", default=None,
+                   help="write the pose graph (path + accepted/rejected "
+                        "loop edges) as a PLY line set")
     q.set_defaults(fn=cmd_sequence)
 
     s = sub.add_parser("sweep",
@@ -393,6 +396,10 @@ def cmd_sequence(args) -> int:
                 h = 0.5 * p[3]
                 f.write(f"{k:.1f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
                         f"0.0 0.0 {np.sin(h):.6f} {np.cos(h):.6f}\n")
+    if args.trajectory_ply:
+        from quatro_tpu.io.ply import save_trajectory_ply
+        save_trajectory_ply(args.trajectory_ply, res.poses,
+                            res.edges_i, res.edges_j, res.edge_mask)
 
     print(json.dumps({
         "frames": len(scans),

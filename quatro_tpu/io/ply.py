@@ -36,6 +36,44 @@ def save_ply(path: str, xyz: np.ndarray,
         rec.tofile(f)
 
 
+def save_trajectory_ply(path: str, poses: np.ndarray,
+                        edges_i: Optional[np.ndarray] = None,
+                        edges_j: Optional[np.ndarray] = None,
+                        edge_mask: Optional[np.ndarray] = None) -> None:
+    """Trajectory + pose-graph edges as one PLY line set (the rviz
+    trajectory/constraint markers, without ROS): vertices = pose
+    positions; consecutive-pose path segments white, loop edges green
+    when accepted, red when rejected by the edge gate."""
+    poses = np.asarray(poses, np.float32)
+    xyz = poses[:, :3].reshape(-1, 3)
+    m = xyz.shape[0]
+    seg = [(k, k + 1, (230, 230, 230)) for k in range(m - 1)]
+    if edges_i is not None:
+        ei = np.asarray(edges_i, int)
+        ej = np.asarray(edges_j, int)
+        ok = (np.ones(len(ei), bool) if edge_mask is None
+              else np.asarray(edge_mask, bool))
+        for a, b, good in zip(ei, ej, ok):
+            if b != a + 1:  # odometry segments already drawn
+                seg.append((int(a), int(b),
+                            (0, 230, 0) if good else (230, 0, 0)))
+    with open(path, "wb") as f:
+        f.write((
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {m}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            f"element edge {len(seg)}\n"
+            "property int vertex1\nproperty int vertex2\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n").encode())
+        xyz.astype("<f4").tofile(f)
+        rec = np.zeros(len(seg), dtype=[("v1", "<i4"), ("v2", "<i4"),
+                                        ("rgb", np.uint8, 3)])
+        for k, (a, b, c) in enumerate(seg):
+            rec[k] = (a, b, c)
+        rec.tofile(f)
+
+
 def save_correspondences_ply(path: str, src_xyz: np.ndarray,
                              tgt_xyz: np.ndarray,
                              mask: Optional[np.ndarray] = None,

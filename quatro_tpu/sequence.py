@@ -42,6 +42,11 @@ class SequenceResult:
     ate_before: float
     ate_after: float
     wall_s: float
+    # The registered pose-graph edges (odometry first, then loop
+    # candidates) and the acceptance decisions of the edge gate.
+    edges_i: np.ndarray = None   # (E,) int
+    edges_j: np.ndarray = None   # (E,) int
+    edge_mask: np.ndarray = None  # (E,) bool
 
 
 def _feature_fingerprint(config: PipelineConfig) -> str:
@@ -262,7 +267,9 @@ def run_sequence(scans: Sequence[PointBatch],
         poses=poses, odometry_poses=odo,
         edges_total=len(ei), edges_valid=int(np.sum(emask)),
         ate_before=ate_before, ate_after=ate_after,
-        wall_s=time.time() - t0)
+        wall_s=time.time() - t0,
+        edges_i=np.asarray(ei, int), edges_j=np.asarray(ej, int),
+        edge_mask=np.asarray(emask, bool))
 
 
 def make_synthetic_sequence(num_poses: int = 10, seed: int = 0,

@@ -64,11 +64,13 @@ def test_cli_sequence_synthetic(tmp_path, capsys):
     """Trajectory mode end-to-end: synthetic loop, place recognition,
     checkpointing, TUM pose export."""
     poses_out = str(tmp_path / "poses.tum")
+    traj_ply = str(tmp_path / "traj.ply")
     rc = main(["sequence", "--synthetic", "6", "--radius", "6",
                "--lidar-type", "VLP-16", "--auto-radii",
                "--max-raw-points", "32768", "--max-voxels", "2048",
                "--checkpoint-dir", str(tmp_path / "ckpt"),
-               "--poses-out", poses_out])
+               "--cache-dir", str(tmp_path / "scans"),
+               "--poses-out", poses_out, "--trajectory-ply", traj_ply])
     assert rc == 0
     line = [l for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")][-1]
@@ -78,6 +80,8 @@ def test_cli_sequence_synthetic(tmp_path, capsys):
     assert res["ate_after"] is not None
     rows = [l.split() for l in open(poses_out).read().splitlines()]
     assert len(rows) == 6 and all(len(r) == 8 for r in rows)
+    hdr = open(traj_ply, "rb").read(200).decode(errors="ignore")
+    assert "element vertex 6" in hdr and "element edge" in hdr
     # resumable: checkpoint artifacts exist
     ck = tmp_path / "ckpt"
     assert (ck / "edges.npz").exists()
