@@ -15,8 +15,7 @@ from typing import Optional
 
 import yaml
 
-from quatro_tpu.config import (FPFHConfig, LidarConfig, PatchworkConfig,
-                               PipelineConfig, SolverConfig)
+from quatro_tpu.config import LidarConfig, PipelineConfig
 
 
 def load_params_yaml(params_path: Optional[str] = None,

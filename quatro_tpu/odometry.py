@@ -16,7 +16,7 @@ Replaces ``FPFHManager``'s stateful per-pair orchestration
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,14 +9,12 @@ the reference's OpenMP-threads-in-one-process model (SURVEY.md §2).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from quatro_tpu.config import PipelineConfig, SolverConfig
+from quatro_tpu.config import SolverConfig
 from quatro_tpu.parallel.mesh import PAIRS_AXIS
 from quatro_tpu.parallel.posegraph import (PoseGraphEdges,
                                            optimize_pose_graph,
