@@ -63,6 +63,9 @@ def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("-")]
     streaming = "--streaming" in sys.argv
     n_pairs = int(argv[0]) if argv else 8
+    # B=16 is the measured HBM sweet spot: the matcher's (V, V) descriptor
+    # distances are B x 8192^2 f32 = 4.3 GB live at B=16; at B=32 (8.6 GB)
+    # XLA spills and per-dispatch time blows up ~1000x (measured on v5e).
     batch = 16
     config = PipelineConfig(
         max_raw_points=131072, max_voxels=8192,
