@@ -44,6 +44,37 @@ def descriptor_distances(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     return jnp.where(mask_a[:, None] & mask_b[None, :], d2, big)
 
 
+def _nearest_neighbors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                       mask_a: jnp.ndarray, mask_b: jnp.ndarray,
+                       row_block: int = 1024):
+    """Per-row nearest neighbor of A in B: (nn index (Na,), nn d2 (Na,)).
+
+    Blocked over rows of A so only a (row_block, Nb) distance tile is ever
+    live — the full (Na, Nb) matrix is 256 MB at 8k x 8k f32, and keeping
+    B of them alive under vmap is what capped the batched pipeline at
+    B=16 on a v5e (B=32 spilled HBM and ran ~1000x slower, measured).
+    Invalid rows get index 0 / +max."""
+    from quatro_tpu.ops.neighbors import pairwise_sq_dists
+    dtype = desc_a.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    na = desc_a.shape[0]
+    pad = (-na) % row_block
+    da = jnp.pad(desc_a, ((0, pad), (0, 0)))
+    ma = jnp.pad(mask_a, (0, pad))
+    sq_b = jnp.sum(desc_b * desc_b, axis=-1)
+
+    def block(blk):
+        d, m = blk
+        d2 = pairwise_sq_dists(d, desc_b, sq_b=sq_b)
+        d2 = jnp.where(m[:, None] & mask_b[None, :], d2, big)
+        j = jnp.argmin(d2, axis=1)
+        return j, jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+
+    nn, d2min = jax.lax.map(block, (da.reshape(-1, row_block, da.shape[1]),
+                                    ma.reshape(-1, row_block)))
+    return nn.reshape(-1)[:na], d2min.reshape(-1)[:na]
+
+
 @partial(jax.jit, static_argnames=("capacity", "use_crosscheck",
                                    "use_tuple_test", "trials_per_corr",
                                    "tuple_min_keep"))
@@ -75,10 +106,10 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
     ia = jnp.arange(na)
     ib = jnp.arange(nb)
 
-    d2 = descriptor_distances(src_desc, tgt_desc, src_mask, tgt_mask)
-
-    nn_ab = jnp.argmin(d2, axis=1)                 # (Na,)
-    nn_ba = jnp.argmin(d2, axis=0)                 # (Nb,)
+    nn_ab, d2_ab = _nearest_neighbors(src_desc, tgt_desc,
+                                      src_mask, tgt_mask)  # (Na,)
+    nn_ba, _ = _nearest_neighbors(tgt_desc, src_desc,
+                                  tgt_mask, src_mask)      # (Nb,)
     mutual_a = (nn_ba[nn_ab] == ia) & src_mask & tgt_mask[nn_ab]
 
     if use_crosscheck:
@@ -148,7 +179,9 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
     # best-descriptor-distance-first, so capacity overflow drops the WORST
     # matches instead of a spatially biased tail (argsort is stable, so
     # the no-overflow case stays deterministic too).
-    quality = d2[cand_src, cand_tgt]
+    # direct per-pair distances — the full (Na, Nb) matrix no longer exists
+    diff = src_desc[cand_src] - tgt_desc[cand_tgt]
+    quality = jnp.sum(diff * diff, axis=-1)
     inf = jnp.asarray(jnp.inf, quality.dtype)
     korder = jnp.argsort(jnp.where(keep, quality, inf))
     kcount = jnp.sum(keep).astype(jnp.int32)

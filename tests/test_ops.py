@@ -236,3 +236,24 @@ def test_match_capacity_overflow_keeps_best_descriptor_matches():
                           capacity=cap, use_tuple_test=False)
     got = np.sort(np.asarray(corr.src_idx)[np.asarray(corr.mask)])
     np.testing.assert_array_equal(got, np.arange(cap))
+
+
+def test_blockwise_nn_matches_dense(rng):
+    """The memory-blocked NN search must be bit-identical to the dense
+    (Na, Nb) argmin it replaced (row blocks see ALL columns, so even
+    tie-breaking matches)."""
+    from quatro_tpu.ops.matching import _nearest_neighbors, \
+        descriptor_distances
+    na, nb, d = 300, 513, 33  # na NOT a multiple of the block size
+    a = rng.normal(size=(na, d)).astype(np.float32)
+    b = rng.normal(size=(nb, d)).astype(np.float32)
+    ma = rng.random(na) > 0.1
+    mb = rng.random(nb) > 0.1
+    nn, d2 = _nearest_neighbors(jnp.asarray(a), jnp.asarray(b),
+                                jnp.asarray(ma), jnp.asarray(mb),
+                                row_block=128)
+    dense = np.asarray(descriptor_distances(jnp.asarray(a), jnp.asarray(b),
+                                            jnp.asarray(ma),
+                                            jnp.asarray(mb)))
+    np.testing.assert_array_equal(np.asarray(nn), dense.argmin(1))
+    np.testing.assert_allclose(np.asarray(d2), dense.min(1), rtol=1e-6)
