@@ -217,6 +217,15 @@ class SolverConfig:
       include/quatro.hpp:115,600-601).
     """
 
+    # Params-struct parity notes (include/quatro.hpp:202-268): the
+    # reference also declares rotation_tim_graph (CHAIN|COMPLETE), but only
+    # the CHAIN branch is implemented upstream (quatro.hpp:817 has no else
+    # — COMPLETE leaves the TIM buffers empty), so it is inert there and
+    # chain TIMs are simply the behavior here; use_max_clique /
+    # max_clique_exact_solution are deprecated upstream in favor of
+    # inlier_selection_mode; max_clique_time_limit caps PMC's
+    # branch-and-bound wall-clock, which has no analog in the data-parallel
+    # clique search (max_clique_size bounds the growth loop instead).
     reg_name: str = "Quatro"          # "Quatro" (yaw-only) or "TEASER" (full SO(3))
     cote_mode: str = "median"         # "median" (Quatro) or "weighted_mean" (TEASER++)
     using_rot_inliers_when_estimating_cote: bool = False
