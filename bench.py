@@ -5,7 +5,7 @@ Baseline target: >100 registrations/s/chip (BASELINE.md build targets);
 the reference C++ pipeline runs ~5 pairs/s on 4 CPU threads (~0.2 s
 front-end per pair, reference README.md:104).
 
-The headline is the batched serving pattern: jit(vmap(pipeline)) over B=32
+The headline is the batched serving pattern: jit(vmap(pipeline)) over B=64
 scan pairs per device call — it amortizes per-op dispatch overheads on the
 many small stages (the MXU stages are already batched). Pass ``--streaming``
 to also measure async single-pair dispatch (the latency pattern); it is off
@@ -63,12 +63,15 @@ def main():
     argv = [a for a in sys.argv[1:] if not a.startswith("-")]
     streaming = "--streaming" in sys.argv
     n_pairs = int(argv[0]) if argv else 8
-    # The matcher's NN search is row-blocked (ops/matching.py), so no
-    # (V, V) distance matrix is ever live; B=32 fits HBM comfortably and
-    # measures ~28% faster than B=16 (269k vs 210k pairs/s median). The
-    # dense matcher used to cap the batch at 16 — 32 spilled and ran
-    # ~1000x slower.
-    batch = 32
+    # B=64 is the measured HBM ceiling after two memory fixes in
+    # ops/matching.py: the NN search is row-blocked (the dense (V, V)
+    # distance matrix was 256 MB live per pair) and the tuple test
+    # evaluates its 205k random triples in lax.map blocks (the gathered
+    # (T, 3, 3) coordinates hit the TPU's minor-dim-3 -> 128-lane padding
+    # and alone reached 10-20 GB under a vmap batch). Measured medians:
+    # B=16 210k, B=32 256-269k, B=64 617k pairs/s; B=128 fails to compile
+    # (HBM).
+    batch = 64
     config = PipelineConfig(
         max_raw_points=131072, max_voxels=8192,
         fpfh=FPFHConfig(max_correspondences=1024))
@@ -93,10 +96,20 @@ def main():
             *[pairs[(i + off) % n_pairs] for i in range(batch)])
         return s, t
     batches = [make_batch(off) for off in range(4)]
-    bfn = jax.jit(jax.vmap(lambda s, t: register_scan_pair(s, t, config)))
-    _log("compiling batched vmap32 pipeline (remote compile; ~10 min cold)")
+
+    # Return ONLY the pose-sized outputs: keeping the full PipelineResult
+    # (correspondence + voxel buffers, ~30 MB/call at B=64) alive across
+    # the timed trials made the final device->host fetch stall for 10+
+    # minutes on the axon relay. Compute is identical; outputs are small.
+    def _step(s, t):
+        res = register_scan_pair(s, t, config)
+        return (res.solution.valid, res.solution.rotation,
+                res.solution.translation)
+
+    bfn = jax.jit(jax.vmap(_step))
+    _log("compiling batched vmap64 pipeline (remote compile; ~10 min cold)")
     bout = bfn(*batches[0])
-    jax.block_until_ready(bout.solution.rotation)
+    jax.block_until_ready(bout[1])
     _log("batched pipeline compiled + warm")
 
     # The steady-state dispatch loop finishes in milliseconds, so a single
@@ -108,7 +121,7 @@ def main():
     #     happens ONCE, after the last timed trial.
     batched_pps, bouts = _median_throughput(
         bfn, [batches[i % 4] for i in range(16)], batch, 16, 5,
-        lambda o: o.solution.rotation)
+        lambda o: o[1])
     _log(f"batched: {batched_pps:.0f} pairs/s")
 
     stream_pps = None
@@ -122,13 +135,30 @@ def main():
             lambda o: o.solution.rotation)
         _log(f"streaming: {stream_pps:.0f} pairs/s")
 
-    n_valid = int(np.asarray(bouts[-1].solution.valid).sum())
+    # The first device->host fetch after a heavy dispatch burst can stall
+    # for many minutes on the axon relay (measured; independent of output
+    # size). The throughput number is already on the host — time-box the
+    # validity fetch and report without it rather than hanging the bench.
+    import threading
+    fetched = {}
+
+    def _fetch_valid():
+        fetched["n"] = int(np.asarray(bouts[-1][0]).sum())
+
+    th = threading.Thread(target=_fetch_valid, daemon=True)
+    th.start()
+    th.join(timeout=90)
+    if "n" in fetched:
+        valid_str = f"{fetched['n']}/{batch}"
+    else:
+        valid_str = "fetch stalled (axon relay); correctness covered by tests"
+        _log("valid-count fetch stalled >90s; reporting without it")
     pairs_per_s = max(batched_pps, stream_pps or 0.0)
 
     detail = {
-        "batched_vmap32_pairs_per_s": round(batched_pps, 2),
+        "batched_vmap_pairs_per_s": round(batched_pps, 2),
         "distinct_pairs": n_pairs,
-        "valid_pairs": f"{n_valid}/{batch}",
+        "valid_pairs": valid_str,
         "raw_points_per_scan": 106000,
         "device": str(jax.devices()[0]),
     }
@@ -141,7 +171,12 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / 100.0, 3),
         "detail": detail,
-    }))
+    }), flush=True)
+    if "n" not in fetched:
+        # a stalled in-flight fetch also wedges interpreter teardown —
+        # the JSON is out, leave hard.
+        import os
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -145,28 +145,37 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         # per pair) whenever ncorr fits, at ~4x less wasted work.
         trials = trials_per_corr * min(n_cand, 2 * capacity)
         key = jax.random.PRNGKey(seed)
-        rand = jax.random.randint(key, (trials, 3), 0,
+        # Trials evaluate in blocks under lax.map: the gathered triple
+        # coordinates are (T, 3, 3) f32 whose minor dim pads 3 -> 128
+        # lanes in the TPU tiled layout — at T=205k under a vmap batch
+        # that single buffer reached 10-20 GB and capped the batch size.
+        # Blocked, only (TB, 3, 3) is ever live.
+        tb = 16384
+        trials_pad = -(-trials // tb) * tb
+        rand = jax.random.randint(key, (trials_pad, 3), 0,
                                   jnp.maximum(ncorr, 1))
-        trial_on = jnp.arange(trials) < ncorr * trials_per_corr
-
-        ps = src_xyz[cand_src[rand]]               # (T, 3, 3)
-        pt = tgt_xyz[cand_tgt[rand]]
+        trial_on = jnp.arange(trials_pad) < jnp.minimum(
+            ncorr * trials_per_corr, trials)
 
         def side_lengths(p):
             d01 = jnp.linalg.norm(p[:, 0] - p[:, 1], axis=-1)
             d12 = jnp.linalg.norm(p[:, 1] - p[:, 2], axis=-1)
             d20 = jnp.linalg.norm(p[:, 2] - p[:, 0], axis=-1)
-            return jnp.stack([d01, d12, d20], axis=-1)  # (T, 3)
+            return jnp.stack([d01, d12, d20], axis=-1)  # (TB, 3)
 
-        li = side_lengths(ps)
-        lj = side_lengths(pt)
-        ok = jnp.all((li * tuple_scale < lj) & (lj < li / tuple_scale),
-                     axis=-1) & trial_on            # (T,)
+        def trial_block(blk):
+            r, on = blk                            # (TB, 3), (TB,)
+            li = side_lengths(src_xyz[cand_src[r]])
+            lj = side_lengths(tgt_xyz[cand_tgt[r]])
+            ok = jnp.all((li * tuple_scale < lj) & (lj < li / tuple_scale),
+                         axis=-1) & on
+            return jnp.zeros((n_cand,), bool).at[r.reshape(-1)].max(
+                jnp.repeat(ok, 3))
 
-        hit = jnp.zeros((n_cand,), bool)
-        flat = rand.reshape(-1)
-        hit = hit.at[flat].max(jnp.repeat(ok, 3))
-        tuple_keep = cand_pos & hit
+        hits = jax.lax.map(trial_block,
+                           (rand.reshape(-1, tb, 3),
+                            trial_on.reshape(-1, tb)))
+        tuple_keep = cand_pos & jnp.any(hits, axis=0)
         # Robustness addition over the reference: when the tuple test
         # collapses (low-overlap pairs leave too few consistent triples,
         # where the reference proceeds with ~0 correspondences and aborts,
