@@ -5,21 +5,44 @@ Baseline target: >100 registrations/s/chip (BASELINE.md build targets);
 the reference C++ pipeline runs ~5 pairs/s on 4 CPU threads (~0.2 s
 front-end per pair, reference README.md:104).
 
-The headline is the batched serving pattern: jit(vmap(pipeline)) over B=64
-scan pairs per device call — it amortizes per-op dispatch overheads on the
-many small stages (the MXU stages are already batched). Pass ``--streaming``
-to also measure async single-pair dispatch (the latency pattern); it is off
-by default because each extra jitted program costs ~10 min of remote axon
-compile that the persistent compile cache cannot skip (compilation happens
-on the tunnel's far side), and the batched number is strictly the faster
-of the two.
+Measurement-integrity design (this file is the round's official perf
+artifact, so the number must be self-verifying):
+
+1. **Dependency-chained dispatches.** Every timed call folds a scalar
+   carry derived from the PREVIOUS call's outputs (valid count + pose
+   checksum) into its own input, so the device cannot overlap or drop
+   calls and no host-side sync primitive is trusted.
+2. **In-band correctness + timing gate.** The timed region ends with a
+   device-to-host fetch of the final carry — a value data-dependent on
+   every pose produced in the run. Timing cannot close before all work
+   drains, and the fetched carry reports the valid-pair count for the
+   exact program that was timed (always present in the JSON).
+3. **Roofline sanity bound.** XLA's compiled cost analysis gives bytes
+   accessed + FLOPs per call; the reported pairs/s must respect the
+   HBM-bandwidth bound (v5e ~0.82 TB/s) or the bench refuses to report
+   it and headlines the bound instead ("roofline_violated": true).
+
+The headline is the batched serving pattern: jit(vmap(pipeline)) over
+B pairs per device call. ``--streaming`` also measures chained
+single-pair dispatch (the latency pattern); it is off by default
+because each extra jitted program costs ~10 min of remote axon compile.
 """
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+# TPU v5 lite HBM bandwidth (~819 GB/s). Used only as an upper-bound
+# sanity check on the reported throughput, never to compute it.
+HBM_BYTES_PER_S = 8.19e11
+# Peak MXU throughput, bf16 ~394 TFLOP/s / f32 ~197 on v5e-class chips;
+# use the f32 figure since the pipeline pins HIGHEST on pose math.
+PEAK_FLOPS = 1.97e14
 
 
 def _log(msg):
@@ -27,28 +50,39 @@ def _log(msg):
           flush=True)
 
 
-_T0 = time.time()
-
-
-def _median_throughput(fn, args, n_per_call, n_calls, trials, get_out):
-    best = []
-    outs = []
-    for _ in range(trials):
-        outs = []
-        t0 = time.time()
-        for a in args[:n_calls]:
-            outs.append(fn(*a))
-        import jax
-        jax.block_until_ready([get_out(o) for o in outs])
-        best.append(n_per_call * n_calls / (time.time() - t0))
-    return float(np.median(best)), outs
+def _cost_analysis(compiled):
+    """(bytes_accessed, flops) per call from XLA's compiled cost model,
+    or (None, None) when the backend doesn't expose them."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("bytes accessed", 0.0)) or None, \
+            float(ca.get("flops", 0.0)) or None
+    except Exception as e:  # noqa: BLE001 — remote backends vary
+        _log(f"cost_analysis unavailable: {e}")
+        return None, None
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_pairs", nargs="?", type=int, default=8,
+                    help="distinct synthetic scan pairs to cycle through")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--calls", type=int, default=32,
+                    help="chained device calls per timed trial")
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--points", type=int, default=131072,
+                    help="raw point capacity per scan")
+    ap.add_argument("--streaming", action="store_true",
+                    help="also measure chained single-pair dispatch "
+                         "(second remote compile, ~10 min)")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     try:  # persistent compile cache (helps CPU/local backends; the axon
-        # remote compile recompiles server-side regardless — see docstring)
+        # remote compile recompiles server-side regardless)
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -60,123 +94,157 @@ def main():
     from quatro_tpu.pipeline import register_scan_pair
     from quatro_tpu.types import PointBatch
 
-    argv = [a for a in sys.argv[1:] if not a.startswith("-")]
-    streaming = "--streaming" in sys.argv
-    n_pairs = int(argv[0]) if argv else 8
-    # B=64 is the measured HBM ceiling after two memory fixes in
-    # ops/matching.py: the NN search is row-blocked (the dense (V, V)
-    # distance matrix was 256 MB live per pair) and the tuple test
-    # evaluates its 205k random triples in lax.map blocks (the gathered
-    # (T, 3, 3) coordinates hit the TPU's minor-dim-3 -> 128-lane padding
-    # and alone reached 10-20 GB under a vmap batch). Measured medians:
-    # B=16 210k, B=32 256-269k, B=64 617k pairs/s; B=128 fails to compile
-    # (HBM).
-    batch = 64
+    batch = args.batch
     config = PipelineConfig(
-        max_raw_points=131072, max_voxels=8192,
+        max_raw_points=args.points, max_voxels=8192,
         fpfh=FPFHConfig(max_correspondences=1024))
 
     _log(f"device: {jax.devices()[0]}")
     pairs = []
-    for s in range(n_pairs):
+    for s in range(args.n_pairs):
         a, b, _ = make_scan_pair(seed=s, yaw_deg=10.0 + 7 * s,
                                  translation=(2.0 + 0.3 * s, 1.0 - 0.2 * s,
                                               0.05),
                                  cache_dir="/root/repo/.scan_cache")
-        pairs.append((PointBatch.from_numpy(a, 131072),
-                      PointBatch.from_numpy(b, 131072)))
-    _log(f"{n_pairs} distinct scan pairs ready (~106k pts/scan)")
+        pairs.append((PointBatch.from_numpy(a, args.points),
+                      PointBatch.from_numpy(b, args.points)))
+    n_real = int(np.asarray(pairs[0][0].mask).sum())
+    _log(f"{args.n_pairs} distinct scan pairs ready (~{n_real} pts/scan)")
 
-    # Batched: stack B pairs (cycling the distinct scans) into one
-    # vmapped device call; rotate between offset batches so no two
-    # consecutive dispatches see identical inputs.
     def make_batch(off):
-        s, t = jax.tree.map(
+        return jax.tree.map(
             lambda *l: jnp.stack(l),
-            *[pairs[(i + off) % n_pairs] for i in range(batch)])
-        return s, t
+            *[pairs[(i + off) % args.n_pairs] for i in range(batch)])
     batches = [make_batch(off) for off in range(4)]
 
-    # Return ONLY the pose-sized outputs: keeping the full PipelineResult
-    # (correspondence + voxel buffers, ~30 MB/call at B=64) alive across
-    # the timed trials made the final device->host fetch stall for 10+
-    # minutes on the axon relay. Compute is identical; outputs are small.
-    def _step(s, t):
+    def _one(s, t):
         res = register_scan_pair(s, t, config)
         return (res.solution.valid, res.solution.rotation,
                 res.solution.translation)
 
-    bfn = jax.jit(jax.vmap(_step))
-    _log("compiling batched vmap64 pipeline (remote compile; ~10 min cold)")
-    bout = bfn(*batches[0])
-    jax.block_until_ready(bout[1])
-    _log("batched pipeline compiled + warm")
+    def _chained(step_b):
+        """Wrap a batched step so the carry (valid count, pose checksum)
+        both accumulates over calls and perturbs the next call's input —
+        by exactly 0.0, but through a predicate XLA cannot fold — forcing
+        device-side serialization of the whole timed chain."""
+        def fn(src, tgt, carry):
+            count, chk = carry
+            eps = jnp.where(jnp.isnan(chk), 1.0, 0.0).astype(
+                src.points.dtype)
+            src = PointBatch(src.points + eps, src.mask)
+            valid, rot, tr = step_b(src, tgt)
+            new_count = count + jnp.sum(valid.astype(jnp.float32))
+            new_chk = chk + jnp.sum(rot) + jnp.sum(tr)
+            return (new_count, new_chk)
+        return fn
 
-    # The steady-state dispatch loop finishes in milliseconds, so a single
-    # trial is at the mercy of host/tunnel jitter — run several trials and
-    # report the median. Two measured axon-relay hazards to avoid:
-    # (1) flooding the dispatch queue (256+ in flight) degrades ~1000x;
-    # (2) ANY device->host fetch (np.asarray) mid-stream permanently drops
-    #     subsequent async dispatch to ~2.6 pairs/s — so all result fetching
-    #     happens ONCE, after the last timed trial.
-    batched_pps, bouts = _median_throughput(
-        bfn, [batches[i % 4] for i in range(16)], batch, 16, 5,
-        lambda o: o[1])
-    _log(f"batched: {batched_pps:.0f} pairs/s")
+    bfn = jax.jit(_chained(jax.vmap(_one)))
+    carry0 = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+
+    _log(f"compiling batched vmap{batch} pipeline "
+         "(remote compile; ~10 min cold)")
+    compiled = bfn.lower(*batches[0], carry0).compile()
+    bytes_per_call, flops_per_call = _cost_analysis(compiled)
+    if bytes_per_call:
+        _log(f"cost analysis: {bytes_per_call / 1e9:.2f} GB accessed, "
+             f"{(flops_per_call or 0) / 1e12:.2f} TFLOP per call")
+    warm = compiled(*batches[0], carry0)
+    warm_count = float(np.asarray(warm[0]))
+    warm_chk = float(np.asarray(warm[1]))
+    _log(f"batched pipeline compiled + warm; warmup valid "
+         f"{warm_count:.0f}/{batch}, checksum {warm_chk:.4f}")
+
+    def timed_chain(fn, arg_list, carry_init, n_per_call):
+        """One timed trial: dispatch the dependency chain, close timing
+        on the host fetch of the final carry. Returns
+        (pairs_per_s, valid_total, checksum, elapsed_s)."""
+        carry = carry_init
+        t0 = time.time()
+        for a in arg_list:
+            carry = fn(*a, carry)
+        count = float(np.asarray(carry[0]))     # gates the clock
+        chk = float(np.asarray(carry[1]))
+        dt = time.time() - t0
+        return n_per_call * len(arg_list) / dt, count, chk, dt
+
+    arg_list = [batches[i % 4] for i in range(args.calls)]
+    trials = []
+    valid_total = None
+    for k in range(args.trials):
+        pps, count, chk, dt = timed_chain(compiled, arg_list, carry0, batch)
+        trials.append(pps)
+        valid_total = count
+        _log(f"trial {k}: {pps:,.0f} pairs/s over {dt * 1e3:.1f} ms, "
+             f"valid {count:.0f}/{batch * args.calls}, chk {chk:.4f}")
+    batched_pps = float(np.median(trials))
+
+    # --- roofline sanity bound -------------------------------------------
+    roofline = {}
+    bound = None
+    if bytes_per_call:
+        bound = batch / (bytes_per_call / HBM_BYTES_PER_S)
+        roofline["hbm_bound_pairs_per_s"] = round(bound, 1)
+        roofline["bytes_accessed_per_call"] = bytes_per_call
+    if flops_per_call:
+        roofline["mxu_bound_pairs_per_s"] = round(
+            batch / (flops_per_call / PEAK_FLOPS), 1)
+        roofline["flops_per_call"] = flops_per_call
+    # Conservative floor on traffic: the inputs alone, read once per call.
+    input_bytes = sum(np.prod(x.shape) * x.dtype.itemsize
+                      for x in jax.tree.leaves(batches[0]))
+    input_bound = batch / (input_bytes / HBM_BYTES_PER_S)
+    roofline["input_bytes_per_call"] = int(input_bytes)
+    roofline["input_readonce_bound_pairs_per_s"] = round(input_bound, 1)
+    hard_bound = min(b for b in (bound, input_bound) if b is not None)
+
+    violated = batched_pps > 1.1 * hard_bound
+    if violated:
+        _log(f"ROOFLINE VIOLATION: measured {batched_pps:,.0f} pairs/s "
+             f"exceeds the HBM bound {hard_bound:,.0f} — reporting the "
+             "bound; the measurement cannot be trusted")
+    reported = min(batched_pps, hard_bound) if violated else batched_pps
 
     stream_pps = None
-    if streaming:
-        fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+    stream_valid = None
+    if args.streaming:
+        # Single-pair chained program: the same vmapped step at B=1.
+        sfn = jax.jit(_chained(jax.vmap(_one)))
+        ones = [jax.tree.map(lambda x: x[:1], b) for b in batches]
         _log("compiling single-pair pipeline (second remote compile)")
-        out = fn(*pairs[0])
-        jax.block_until_ready(out.solution.rotation)
-        stream_pps, _ = _median_throughput(
-            fn, pairs * 8, 1, n_pairs * 8, 5,
-            lambda o: o.solution.rotation)
-        _log(f"streaming: {stream_pps:.0f} pairs/s")
-
-    # The first device->host fetch after a heavy dispatch burst can stall
-    # for many minutes on the axon relay (measured; independent of output
-    # size). The throughput number is already on the host — time-box the
-    # validity fetch and report without it rather than hanging the bench.
-    import threading
-    fetched = {}
-
-    def _fetch_valid():
-        fetched["n"] = int(np.asarray(bouts[-1][0]).sum())
-
-    th = threading.Thread(target=_fetch_valid, daemon=True)
-    th.start()
-    th.join(timeout=90)
-    if "n" in fetched:
-        valid_str = f"{fetched['n']}/{batch}"
-    else:
-        valid_str = "fetch stalled (axon relay); correctness covered by tests"
-        _log("valid-count fetch stalled >90s; reporting without it")
-    pairs_per_s = max(batched_pps, stream_pps or 0.0)
+        sfn(*ones[0], carry0)[0].block_until_ready()
+        s_args = [ones[i % 4] for i in range(args.calls * 4)]
+        st = [timed_chain(sfn, s_args, carry0, 1) for _ in range(args.trials)]
+        stream_pps = float(np.median([t[0] for t in st]))
+        stream_valid = st[-1][1]
+        _log(f"streaming: {stream_pps:,.0f} pairs/s, "
+             f"valid {stream_valid:.0f}/{len(s_args)}")
 
     detail = {
         "batched_vmap_pairs_per_s": round(batched_pps, 2),
-        "distinct_pairs": n_pairs,
-        "valid_pairs": valid_str,
-        "raw_points_per_scan": 106000,
+        "batch": batch,
+        "chained_calls_per_trial": args.calls,
+        "trials_pairs_per_s": [round(t, 2) for t in trials],
+        "valid_pairs": f"{valid_total:.0f}/{batch * args.calls}",
+        "warmup_valid": f"{warm_count:.0f}/{batch}",
+        "distinct_pairs": args.n_pairs,
+        "raw_points_per_scan": n_real,
+        "timing": "dependency-chained dispatches; clock closes on host "
+                  "fetch of a carry data-dependent on every call",
+        "roofline": roofline,
+        "roofline_violated": bool(violated),
         "device": str(jax.devices()[0]),
     }
     if stream_pps is not None:
         detail["streaming_single_pair_per_s"] = round(stream_pps, 2)
+        detail["streaming_valid"] = f"{stream_valid:.0f}/{args.calls * 4}"
 
     print(json.dumps({
         "metric": "full_pipeline_registrations_per_sec_per_chip",
-        "value": round(pairs_per_s, 2),
+        "value": round(reported, 2),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / 100.0, 3),
+        "vs_baseline": round(reported / 100.0, 3),
         "detail": detail,
     }), flush=True)
-    if "n" not in fetched:
-        # a stalled in-flight fetch also wedges interpreter teardown —
-        # the JSON is out, leave hard.
-        import os
-        os._exit(0)
 
 
 if __name__ == "__main__":
