@@ -77,7 +77,7 @@ def _nearest_neighbors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("capacity", "use_crosscheck",
                                    "use_tuple_test", "trials_per_corr",
-                                   "tuple_min_keep"))
+                                   "seed", "tuple_min_keep"))
 def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
                    src_desc: jnp.ndarray, tgt_desc: jnp.ndarray,
                    src_mask: jnp.ndarray, tgt_mask: jnp.ndarray,
@@ -136,46 +136,53 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
 
     keep = cand_pos
     if use_tuple_test:
-        # reference: feature_matcher.cc:187-247 — ncorr*100 random triples,
-        # all three length-ratio gates must pass; passing triples mark
-        # their three pairs as kept (dedup via the keep mask).
-        # Static trial budget: the reference runs ncorr*100 dynamically;
-        # bounding the candidate count at 2*capacity instead of the full
-        # voxel capacity keeps the per-pair hit statistics (~300 triples
-        # per pair) whenever ncorr fits, at ~4x less wasted work.
-        trials = trials_per_corr * min(n_cand, 2 * capacity)
-        key = jax.random.PRNGKey(seed)
-        # Trials evaluate in blocks under lax.map: the gathered triple
-        # coordinates are (T, 3, 3) f32 whose minor dim pads 3 -> 128
-        # lanes in the TPU tiled layout — at T=205k under a vmap batch
-        # that single buffer reached 10-20 GB and capped the batch size.
-        # Blocked, only (TB, 3, 3) is ever live.
-        tb = 16384
-        trials_pad = -(-trials // tb) * tb
-        rand = jax.random.randint(key, (trials_pad, 3), 0,
-                                  jnp.maximum(ncorr, 1))
-        trial_on = jnp.arange(trials_pad) < jnp.minimum(
-            ncorr * trials_per_corr, trials)
+        # reference: feature_matcher.cc:187-247 — random triples of
+        # candidate pairs, all three length-ratio gates must pass; passing
+        # triples mark their three pairs as kept. Re-designed TPU-native:
+        # instead of gathering ncorr*100 random index triples (3M gathered
+        # indices ~ 25 ms of tile-DMAs per pair, measured), triples are
+        # SHIFT-STRUCTURED — for `trials_per_corr` pseudo-random shift
+        # pairs (s1, s2) drawn host-side from `seed`, trial i tests
+        # candidates (i, i+s1 mod n, i+s2 mod n) via jnp.roll of the
+        # candidate coordinate columns. Every pair participates in exactly
+        # 3*trials_per_corr triples (the reference's expected count), the
+        # draw is deterministic, and the whole test is rolls + VPU math —
+        # no gathers, no scatters.
+        import numpy as _np
+        host_rng = _np.random.default_rng(seed)
+        shifts = _np.unique(
+            host_rng.integers(1, max(n_cand - 1, 2),
+                              size=(4 * trials_per_corr, 2)), axis=0)
+        shifts = shifts[shifts[:, 0] != shifts[:, 1]][:trials_per_corr]
+        shifts = jnp.asarray(shifts, jnp.int32)  # (T, 2)
 
-        def side_lengths(p):
-            d01 = jnp.linalg.norm(p[:, 0] - p[:, 1], axis=-1)
-            d12 = jnp.linalg.norm(p[:, 1] - p[:, 2], axis=-1)
-            d20 = jnp.linalg.norm(p[:, 2] - p[:, 0], axis=-1)
-            return jnp.stack([d01, d12, d20], axis=-1)  # (TB, 3)
+        cs = tuple(src_xyz[:, c][cand_src] for c in range(3))  # (n_cand,) x3
+        ct = tuple(tgt_xyz[:, c][cand_tgt] for c in range(3))
+        iota_c = jnp.arange(n_cand, dtype=jnp.int32)
 
-        def trial_block(blk):
-            r, on = blk                            # (TB, 3), (TB,)
-            li = side_lengths(src_xyz[cand_src[r]])
-            lj = side_lengths(tgt_xyz[cand_tgt[r]])
-            ok = jnp.all((li * tuple_scale < lj) & (lj < li / tuple_scale),
-                         axis=-1) & on
-            return jnp.zeros((n_cand,), bool).at[r.reshape(-1)].max(
-                jnp.repeat(ok, 3))
+        def lengths(p, q):
+            return jnp.sqrt(sum((p[c] - q[c]) ** 2 for c in range(3)))
 
-        hits = jax.lax.map(trial_block,
-                           (rand.reshape(-1, tb, 3),
-                            trial_on.reshape(-1, tb)))
-        tuple_keep = cand_pos & jnp.any(hits, axis=0)
+        def trial(keep_acc, s):
+            s1, s2 = s[0], s[1]
+            r1 = tuple(jnp.roll(c, -s1) for c in cs)
+            r2 = tuple(jnp.roll(c, -s2) for c in cs)
+            t1 = tuple(jnp.roll(c, -s1) for c in ct)
+            t2 = tuple(jnp.roll(c, -s2) for c in ct)
+            li = (lengths(cs, r1), lengths(r1, r2), lengths(r2, cs))
+            lj = (lengths(ct, t1), lengths(t1, t2), lengths(t2, ct))
+            geo = jnp.ones((n_cand,), bool)
+            for a, b in zip(li, lj):
+                geo &= (a * tuple_scale < b) & (b < a / tuple_scale)
+            m1 = (iota_c + s1) % n_cand < ncorr
+            m2 = (iota_c + s2) % n_cand < ncorr
+            ok = geo & cand_pos & m1 & m2
+            hit = ok | jnp.roll(ok, s1) | jnp.roll(ok, s2)
+            return keep_acc | hit, None
+
+        tuple_keep, _ = jax.lax.scan(trial, jnp.zeros((n_cand,), bool),
+                                     shifts)
+        tuple_keep &= cand_pos
         # Robustness addition over the reference: when the tuple test
         # collapses (low-overlap pairs leave too few consistent triples,
         # where the reference proceeds with ~0 correspondences and aborts,

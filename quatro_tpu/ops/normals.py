@@ -8,7 +8,11 @@ is the eigenvector of the smallest eigenvalue, oriented toward the viewpoint
 TPU-native design: the 3x3 symmetric eigenproblem is solved in closed form
 (trigonometric eigenvalues + cross-product eigenvectors) — pure VPU
 arithmetic batched over all N points, no LAPACK batching limits, no
-iteration.
+iteration. All internal state is structure-of-arrays: per-point scalars as
+(N,)/(N, K) lane-aligned arrays and the covariance as its six unique
+entries, never (N, K, 3) / (N, 3, 3) tensors — on TPU a minor dimension of
+3 is physically padded to 128 lanes, so the AoS formulation reads/writes
+~42x the logical bytes (measured: 6.5 GB -> ~0.1 GB for this stage).
 """
 
 from __future__ import annotations
@@ -27,43 +31,64 @@ class Normals(NamedTuple):
     valid: jax.Array      # (N,) >= 3 neighbors and non-degenerate
 
 
-def smallest_eigenvector_3x3(a: jnp.ndarray):
-    """Smallest eigenpair of a batch of symmetric 3x3 matrices, closed form.
+def smallest_eigenpair_sym3(a11, a12, a13, a22, a23, a33):
+    """Smallest eigenpair of symmetric 3x3 matrices given as six component
+    arrays (any common shape). Returns ((v1, v2, v3) unit eigenvector
+    components, eigval) — the structure-of-arrays core of
+    smallest_eigenvector_3x3.
 
-    a: (..., 3, 3). Returns (eigvec (..., 3), eigval (...,)).
     Eigenvalues via the trigonometric solution of the characteristic cubic;
     the eigenvector via the largest cross product of rows of (A - lambda I),
     which is numerically robust for well-separated spectra and falls back
     gracefully for near-isotropic neighborhoods.
     """
-    dtype = a.dtype
-    tr = jnp.trace(a, axis1=-2, axis2=-1)
+    tr = a11 + a22 + a33
     q = tr / 3.0
-    b = a - q[..., None, None] * jnp.eye(3, dtype=dtype)
-    p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
+    b11, b22, b33 = a11 - q, a22 - q, a33 - q
+    p2 = (b11 * b11 + b22 * b22 + b33 * b33
+          + 2.0 * (a12 * a12 + a13 * a13 + a23 * a23)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, 1e-30))
-    detb = jnp.linalg.det(b)
-    r = detb / (2.0 * p ** 3)
-    r = jnp.clip(r, -1.0, 1.0)
+    detb = (b11 * (b22 * b33 - a23 * a23)
+            - a12 * (a12 * b33 - a23 * a13)
+            + a13 * (a12 * a23 - b22 * a13))
+    r = jnp.clip(detb / (2.0 * p ** 3), -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
-    # eig1 >= eig2 >= eig3
-    eig1 = q + 2.0 * p * jnp.cos(phi)
     eig3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
 
-    m = a - eig3[..., None, None] * jnp.eye(3, dtype=dtype)
-    r0, r1, r2 = m[..., 0, :], m[..., 1, :], m[..., 2, :]
-    c01 = jnp.cross(r0, r1)
-    c02 = jnp.cross(r0, r2)
-    c12 = jnp.cross(r1, r2)
-    norms = jnp.stack([jnp.sum(c01 * c01, -1), jnp.sum(c02 * c02, -1),
-                       jnp.sum(c12 * c12, -1)], axis=-1)
-    best = jnp.argmax(norms, axis=-1)
-    cands = jnp.stack([c01, c02, c12], axis=-2)
-    vec = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
-                              axis=-2)[..., 0, :]
-    vec_norm = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, -1, keepdims=True),
-                                    1e-30))
-    return vec / vec_norm, eig3
+    # rows of M = A - eig3*I
+    m11, m22, m33 = a11 - eig3, a22 - eig3, a33 - eig3
+    # cross products of row pairs (r0, r1), (r0, r2), (r1, r2)
+    def cross(u1, u2, u3, v1, v2, v3):
+        return (u2 * v3 - u3 * v2, u3 * v1 - u1 * v3, u1 * v2 - u2 * v1)
+
+    c01 = cross(m11, a12, a13, a12, m22, a23)
+    c02 = cross(m11, a12, a13, a13, a23, m33)
+    c12 = cross(a12, m22, a23, a13, a23, m33)
+
+    def nrm2(c):
+        return c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+
+    n01, n02, n12 = nrm2(c01), nrm2(c02), nrm2(c12)
+    best12 = n12 >= jnp.maximum(n01, n02)
+    best02 = (n02 >= n01) & ~best12
+    vec = tuple(jnp.where(best12, c12[i],
+                          jnp.where(best02, c02[i], c01[i]))
+                for i in range(3))
+    inv = jax.lax.rsqrt(jnp.maximum(nrm2(vec), 1e-30))
+    return tuple(v * inv for v in vec), eig3
+
+
+def smallest_eigenvector_3x3(a: jnp.ndarray):
+    """Matrix-shaped wrapper over smallest_eigenpair_sym3.
+
+    a: (..., 3, 3) symmetric. Returns (eigvec (..., 3), eigval (...,)).
+    Prefer the component API in hot code — (..., 3, 3) arrays pad both
+    minor dims on TPU (3 -> 8 sublanes x 3 -> 128 lanes).
+    """
+    (v1, v2, v3), eig3 = smallest_eigenpair_sym3(
+        a[..., 0, 0], a[..., 0, 1], a[..., 0, 2],
+        a[..., 1, 1], a[..., 1, 2], a[..., 2, 2])
+    return jnp.stack([v1, v2, v3], axis=-1), eig3
 
 
 def estimate_normals(points: jnp.ndarray, nbrs: NeighborLists,
@@ -73,28 +98,40 @@ def estimate_normals(points: jnp.ndarray, nbrs: NeighborLists,
     points: (N, 3); nbrs from radius_neighbors (self included).
     """
     dtype = points.dtype
-    nb_pts = points[nbrs.idx]                      # (N, K, 3)
-    w = nbrs.valid.astype(dtype)[..., None]        # (N, K, 1)
-    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)     # (N, 1)
-    mean = jnp.sum(nb_pts * w, axis=1) / cnt
-    centered = (nb_pts - mean[:, None, :]) * w
-    # HIGHEST: with the TPU bf16 matmul default, planar neighborhoods'
-    # lambda_min/trace (~1e-5 on roads) would drown in ~4e-3 relative
-    # covariance error — curvature noise and degrees of normal wobble.
-    cov = jnp.einsum("nki,nkj->nij", centered, centered,
-                     precision=jax.lax.Precision.HIGHEST) / cnt[..., None]
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    w = nbrs.valid.astype(dtype)                   # (N, K)
+    cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)     # (N,)
 
-    normal, lam_min = smallest_eigenvector_3x3(cov)
-    trace = jnp.trace(cov, axis1=-2, axis2=-1)
+    def moments(ca, ca_mean, cb, cb_mean):
+        # E[(a - mean_a)(b - mean_b)] over valid neighbors
+        return jnp.sum(w * (ca - ca_mean[:, None]) * (cb - cb_mean[:, None]),
+                       axis=1) / cnt
+
+    xs, ys, zs = x[nbrs.idx], y[nbrs.idx], z[nbrs.idx]   # (N, K) each
+    mx = jnp.sum(w * xs, axis=1) / cnt
+    my = jnp.sum(w * ys, axis=1) / cnt
+    mz = jnp.sum(w * zs, axis=1) / cnt
+    cxx = moments(xs, mx, xs, mx)
+    cxy = moments(xs, mx, ys, my)
+    cxz = moments(xs, mx, zs, mz)
+    cyy = moments(ys, my, ys, my)
+    cyz = moments(ys, my, zs, mz)
+    czz = moments(zs, mz, zs, mz)
+
+    (n1, n2, n3), lam_min = smallest_eigenpair_sym3(
+        cxx, cxy, cxz, cyy, cyz, czz)
+    trace = cxx + cyy + czz
     curvature = lam_min / jnp.maximum(trace, 1e-30)
 
     # Orient toward the viewpoint (PCL flipNormalTowardsViewpoint).
     vp = jnp.asarray(viewpoint, dtype)
-    flip = jnp.sum(normal * (vp[None, :] - points), axis=-1) < 0
-    normal = jnp.where(flip[:, None], -normal, normal)
+    flip = (n1 * (vp[0] - x) + n2 * (vp[1] - y) + n3 * (vp[2] - z)) < 0
+    sign = jnp.where(flip, -1.0, 1.0)
+    n1, n2, n3 = n1 * sign, n2 * sign, n3 * sign
 
     valid = jnp.sum(nbrs.valid, axis=1) >= 3
-    normal = jnp.where(valid[:, None], normal, 0.0)
+    ok = valid.astype(dtype)
+    normal = jnp.stack([n1 * ok, n2 * ok, n3 * ok], axis=-1)
     # Zero-covariance slots otherwise yield lam_min ~ -1e-15 over the 1e-30
     # trace floor = astronomical garbage curvature.
     curvature = jnp.where(valid, curvature, 0.0)

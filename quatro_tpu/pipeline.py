@@ -47,17 +47,18 @@ def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
 
     Returns (voxel PointBatch, descriptors (V, 33), descriptor mask,
     Normals). Mirrors FPFHManager::setFeaturePair's per-cloud half
-    (reference: include/fpfh_manager.hpp:98-129).
+    (reference: include/fpfh_manager.hpp:98-129). Normals and FPFH run in
+    the dense tiled formulation (ops/dense_features.py) — true radius
+    neighborhoods, no gathered neighbor lists (each gathered index costs a
+    tile DMA on TPU; the K-capped path spent ~0.4 s/pair in gathers).
     """
+    from quatro_tpu.ops.dense_features import dense_fpfh, dense_normals
+
     vox_pts, vox_mask = voxel_downsample(points, mask, config.voxel_size,
                                          config.max_voxels)
-    nbrs_n = radius_neighbors(vox_pts, vox_mask, config.fpfh.normal_radius,
-                              config.fpfh.max_neighbors_normal)
-    normals = estimate_normals(vox_pts, nbrs_n)
-    nbrs_f = radius_neighbors(vox_pts, vox_mask, config.fpfh.fpfh_radius,
-                              config.fpfh.max_neighbors_fpfh)
-    desc = compute_fpfh(vox_pts, normals.normals, nbrs_f,
-                        normal_valid=normals.valid)
+    normals = dense_normals(vox_pts, vox_mask, config.fpfh.normal_radius)
+    desc = dense_fpfh(vox_pts, normals.normals, normals.valid, vox_mask,
+                      config.fpfh.fpfh_radius)
     desc_mask = vox_mask & normals.valid
     return PointBatch(vox_pts, vox_mask), desc, desc_mask, normals
 

@@ -257,3 +257,36 @@ def test_blockwise_nn_matches_dense(rng):
                                             jnp.asarray(mb)))
     np.testing.assert_array_equal(np.asarray(nn), dense.argmin(1))
     np.testing.assert_allclose(np.asarray(d2), dense.min(1), rtol=1e-6)
+
+
+def test_dense_features_match_kcapped():
+    """dense_normals / dense_fpfh (the pipeline hot path) must agree with
+    the K-capped NeighborLists formulation wherever K does not saturate:
+    identical validity, normals to f32 tolerance, and identical FPFH given
+    identical normals."""
+    import numpy as np
+    import jax.numpy as jnp
+    from quatro_tpu.ops.neighbors import radius_neighbors
+    from quatro_tpu.ops.normals import estimate_normals
+    from quatro_tpu.ops.fpfh import compute_fpfh
+    from quatro_tpu.ops.dense_features import dense_normals, dense_fpfh
+
+    rng = np.random.default_rng(3)
+    v = 1024
+    pts = jnp.asarray(rng.uniform(-10, 10, (v, 3)).astype(np.float32))
+    mask = jnp.asarray(rng.random(v) > 0.1)
+    rn, rf = 1.2, 1.8
+    nbrs = radius_neighbors(pts, mask, rn, 128, tile=256)
+    assert int(jnp.sum(nbrs.valid, 1).max()) < 128  # K unsaturated
+    old_n = estimate_normals(pts, nbrs)
+    new_n = dense_normals(pts, mask, rn, tile=256)
+    nv = old_n.valid & mask
+    assert bool(jnp.array_equal(nv, new_n.valid))
+    d = np.abs(np.asarray(old_n.normals) - np.asarray(new_n.normals))
+    assert d[np.asarray(nv)].max() < 5e-3
+
+    nbrs_f = radius_neighbors(pts, mask, rf, 256, tile=256)
+    old_d = compute_fpfh(pts, old_n.normals, nbrs_f, normal_valid=nv)
+    new_d = dense_fpfh(pts, old_n.normals, nv, mask, rf, tile=256)
+    dd = np.abs(np.asarray(old_d) - np.asarray(new_d))[np.asarray(nv)]
+    np.testing.assert_allclose(dd.max(), 0.0, atol=2e-2)
