@@ -268,7 +268,26 @@ def main(argv=None) -> int:
                         "(full 6-DoF, Quatro++ extension)")
     e.add_argument("--refine", action="store_true",
                    help="polish with on-device point-to-plane ICP")
+    e.add_argument("--terrain-slope", type=float, default=0.0,
+                   help="ground slope (dz/dx) — sloped/curved world")
+    e.add_argument("--terrain-amp", type=float, default=0.0,
+                   help="ground ripple amplitude (m)")
+    e.add_argument("--dynamic-fraction", type=float, default=0.0,
+                   help="fraction of cars that MOVE between the captures")
     e.set_defaults(fn=cmd_evaluate)
+
+    o = sub.add_parser("overlap",
+                       help="success-vs-overlap sweep over baseline "
+                            "distances (partial-overlap robustness)")
+    o.add_argument("--baselines", type=float, nargs="+",
+                   default=[2.0, 5.0, 10.0, 15.0, 20.0, 25.0])
+    o.add_argument("--n-pairs", type=int, default=16)
+    o.add_argument("--lidar-type", default="Velodyne-64-HDE")
+    o.add_argument("--max-voxels", type=int, default=8192)
+    o.add_argument("--num-hypotheses", type=int, default=1)
+    o.add_argument("--seed", type=int, default=0)
+    o.add_argument("--cache-dir", default="/root/repo/.scan_cache")
+    o.set_defaults(fn=cmd_overlap)
 
     q = sub.add_parser(
         "sequence",
@@ -333,10 +352,35 @@ def cmd_evaluate(args) -> int:
         ground_alignment=GroundAlignmentConfig(
             enabled=getattr(args, "ground_alignment", False)),
         icp=IcpConfig(enabled=getattr(args, "refine", False)))
-    report = evaluate_loop_closures(args.n_pairs, config, seed0=args.seed,
-                                    cache_dir=args.cache_dir,
-                                    tilt_deg=getattr(args, "tilt_deg", 0.0))
+    terrain = None
+    if getattr(args, "terrain_slope", 0.0) or getattr(args, "terrain_amp",
+                                                      0.0):
+        from quatro_tpu.io.synthetic import Terrain
+        terrain = Terrain(slope_x=args.terrain_slope,
+                          slope_y=0.4 * args.terrain_slope,
+                          amp=args.terrain_amp)
+    report = evaluate_loop_closures(
+        args.n_pairs, config, seed0=args.seed,
+        cache_dir=args.cache_dir,
+        tilt_deg=getattr(args, "tilt_deg", 0.0),
+        terrain=terrain,
+        dynamic_fraction=getattr(args, "dynamic_fraction", 0.0))
     print(json.dumps(report.summary()))
+    return 0
+
+
+def cmd_overlap(args) -> int:
+    _enable_compile_cache()
+    from quatro_tpu.config import LidarConfig, PipelineConfig, SolverConfig
+    from quatro_tpu.eval import evaluate_overlap_sweep
+    config = PipelineConfig(
+        lidar=LidarConfig.preset(args.lidar_type),
+        max_voxels=args.max_voxels,
+        solver=SolverConfig(num_hypotheses=args.num_hypotheses))
+    out = evaluate_overlap_sweep(tuple(args.baselines), args.n_pairs,
+                                 config, seed0=args.seed,
+                                 cache_dir=args.cache_dir)
+    print(json.dumps(out))
     return 0
 
 

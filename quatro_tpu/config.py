@@ -251,6 +251,11 @@ class SolverConfig:
     # degrees sit below the spurious-outlier degree tail at 99% outliers
     # (measured: 16 seeds -> 10/64 failures there, 128 -> 0/64).
     clique_num_seeds: int = 128
+    # (1,2)-swap local-improvement rounds applied to the top greedy cliques
+    # after growth (solver/clique.py::improve_cliques_1swap). Closes most of
+    # the residual regret vs exact branch-and-bound (PMC_EXACT analog,
+    # reference src/graph.cc:106-127) for a couple of O(N^2) steps; 0 = off.
+    clique_swap_rounds: int = 2
     # Fused Pallas kernel for the consistency graph (requires
     # max_correspondences % 256 == 0). None = auto: on for TPU backends,
     # off elsewhere (interpret mode would be slower than XLA on CPU).

@@ -29,6 +29,7 @@ class PairEval:
     trans_err_m: float
     n_corr: int
     success: bool
+    strict: bool = False  # tighter tier: rot < 1 deg AND trans < 0.3 m
 
 
 @dataclass
@@ -42,6 +43,10 @@ class EvalReport:
         return float(np.mean([p.success for p in self.pairs]))
 
     @property
+    def strict_rate(self) -> float:
+        return float(np.mean([p.strict for p in self.pairs]))
+
+    @property
     def pairs_per_s(self) -> float:
         return len(self.pairs) / self.wall_s if self.wall_s > 0 else 0.0
 
@@ -51,6 +56,7 @@ class EvalReport:
         return {
             "n_pairs": len(self.pairs),
             "success_rate": round(self.success_rate, 4),
+            "strict_success_rate": round(self.strict_rate, 4),
             "median_rot_err_deg": round(float(np.median(rot)), 4) if rot else None,
             "median_trans_err_m": round(float(np.median(tr)), 4) if tr else None,
             "pairs_per_s": round(self.pairs_per_s, 2),
@@ -100,7 +106,11 @@ def evaluate_loop_closures(n_pairs: int = 50,
                            seed0: int = 0,
                            raw_capacity: int = 131072,
                            cache_dir: Optional[str] = None,
-                           tilt_deg: float = 0.0) -> EvalReport:
+                           tilt_deg: float = 0.0,
+                           terrain=None,
+                           dynamic_fraction: float = 0.0,
+                           strict_rot_deg: float = 1.0,
+                           strict_trans_m: float = 0.3) -> EvalReport:
     """Register n synthetic loop-closure pairs; report success statistics.
 
     Pairs sample the full yaw circle (loop closures arrive at arbitrary
@@ -108,6 +118,11 @@ def evaluate_loop_closures(n_pairs: int = 50,
     tilt_deg > 0 each scan is additionally tilted by an independent random
     roll/pitch in [-tilt_deg, tilt_deg] — the non-level-platform case that
     needs config.ground_alignment (solver/ground.py) for full accuracy.
+    `terrain` (io/synthetic.Terrain) makes the world sloped/curved;
+    `dynamic_fraction` moves that share of cars between captures.
+    Every report carries BOTH tiers: the loop-closure criterion
+    (rot_thresh_deg / trans_thresh_m, default 5 deg / 2 m) and a strict
+    tier (default 1 deg / 0.3 m) keyed to the claimed median accuracy.
     """
     import jax
     import jax.numpy as jnp
@@ -118,6 +133,7 @@ def evaluate_loop_closures(n_pairs: int = 50,
     config = config or PipelineConfig(max_voxels=8192)
     rng = np.random.default_rng(seed0)
     fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+    pair_kwargs = dict(terrain=terrain, dynamic_fraction=dynamic_fraction)
 
     cases = []
     for k in range(n_pairs):
@@ -136,7 +152,7 @@ def evaluate_loop_closures(n_pairs: int = 50,
                                                     16)) as pool:
             futs = [pool.submit(make_scan_pair, seed=sd, yaw_deg=yaw,
                                 translation=tuple(tr), lidar=config.lidar,
-                                cache_dir=cache_dir)
+                                cache_dir=cache_dir, **pair_kwargs)
                     for sd, yaw, tr in cases]
             for f in futs:
                 f.result()
@@ -146,7 +162,8 @@ def evaluate_loop_closures(n_pairs: int = 50,
     # compile once
     s0, t0_, gt0 = make_scan_pair(seed=seed0, yaw_deg=cases[0][1],
                                   translation=tuple(cases[0][2]),
-                                  lidar=config.lidar, cache_dir=cache_dir)
+                                  lidar=config.lidar, cache_dir=cache_dir,
+                                  **pair_kwargs)
     tA = time.time()
     out = fn(PointBatch.from_numpy(s0, raw_capacity),
              PointBatch.from_numpy(t0_, raw_capacity))
@@ -160,7 +177,8 @@ def evaluate_loop_closures(n_pairs: int = 50,
         src_xyz, tgt_xyz, gt = make_scan_pair(seed=sd, yaw_deg=yaw,
                                               translation=tuple(tr),
                                               lidar=config.lidar,
-                                              cache_dir=cache_dir)
+                                              cache_dir=cache_dir,
+                                              **pair_kwargs)
         if tilt_deg > 0.0:
             src_xyz, tgt_xyz, gt = _tilt_pair(src_xyz, tgt_xyz, gt,
                                               tilt_deg, tilt_rng)
@@ -173,14 +191,91 @@ def evaluate_loop_closures(n_pairs: int = 50,
     for sd, gt, out in outs:
         T = np.asarray(out.solution.transform())
         rot_err, trans_err = _pose_error(T, gt)
-        ok = (bool(out.solution.valid) and rot_err < rot_thresh_deg
+        valid = bool(out.solution.valid)
+        ok = (valid and rot_err < rot_thresh_deg
               and trans_err < trans_thresh_m)
+        strict = (valid and rot_err < strict_rot_deg
+                  and trans_err < strict_trans_m)
         results.append(PairEval(
-            seed=sd, valid=bool(out.solution.valid),
+            seed=sd, valid=valid,
             rot_err_deg=rot_err, trans_err_m=trans_err,
             n_corr=int(np.asarray(out.correspondences.mask).sum()),
-            success=ok))
+            success=ok, strict=strict))
     return EvalReport(results, wall, compile_s)
+
+
+def measured_overlap(src_xyz: np.ndarray, tgt_xyz: np.ndarray,
+                     gt: np.ndarray, radius: float = 0.5,
+                     sample: int = 2048, seed: int = 0) -> float:
+    """Fraction of (subsampled) GT-transformed source points with a target
+    point within `radius` — the ground-truth overlap of a pair."""
+    rng = np.random.default_rng(seed)
+    s = src_xyz[rng.choice(src_xyz.shape[0],
+                           min(sample, src_xyz.shape[0]), replace=False)]
+    t = tgt_xyz[rng.choice(tgt_xyz.shape[0],
+                           min(4 * sample, tgt_xyz.shape[0]), replace=False)]
+    m = s @ gt[:3, :3].T + gt[:3, 3]
+    # blockwise NN to bound memory
+    hits = 0
+    r2 = radius * radius
+    for b in range(0, m.shape[0], 256):
+        d2 = ((m[b:b + 256, None, :] - t[None, :, :]) ** 2).sum(-1).min(1)
+        hits += int((d2 < r2).sum())
+    return hits / m.shape[0]
+
+
+def evaluate_overlap_sweep(baselines=(2.0, 5.0, 10.0, 15.0, 20.0, 25.0),
+                           n_pairs: int = 16,
+                           config: Optional[PipelineConfig] = None,
+                           rot_thresh_deg: float = 5.0,
+                           trans_thresh_m: float = 2.0,
+                           seed0: int = 0,
+                           raw_capacity: int = 131072,
+                           cache_dir: Optional[str] = None) -> dict:
+    """Success vs baseline distance (partial overlap). Wider baselines see
+    less common structure; this measures where registration degrades and
+    reports the MEASURED mean overlap per baseline alongside success.
+    The reference never quantifies this (its fixture is one ~14 m KITTI
+    pair, reference: CMakeLists.txt:57-58).
+    """
+    import jax
+    from quatro_tpu.io.synthetic import make_scan_pair
+    from quatro_tpu.pipeline import register_scan_pair
+    from quatro_tpu.types import PointBatch
+
+    config = config or PipelineConfig(max_voxels=8192)
+    fn = jax.jit(lambda s, t: register_scan_pair(s, t, config))
+    rng = np.random.default_rng(seed0)
+
+    out = {}
+    for dist in baselines:
+        succ, overlaps, rot_errs, trans_errs = [], [], [], []
+        for k in range(n_pairs):
+            yaw = rng.uniform(-180.0, 180.0)
+            ang = rng.uniform(0, 2 * np.pi)
+            tr = (dist * np.cos(ang), dist * np.sin(ang),
+                  rng.uniform(-0.2, 0.2))
+            src_xyz, tgt_xyz, gt = make_scan_pair(
+                seed=seed0 + 100 * int(dist) + k, yaw_deg=yaw,
+                translation=tr, lidar=config.lidar, cache_dir=cache_dir)
+            res = fn(PointBatch.from_numpy(src_xyz, raw_capacity),
+                     PointBatch.from_numpy(tgt_xyz, raw_capacity))
+            T = np.asarray(res.solution.transform())
+            rot_err, trans_err = _pose_error(T, gt)
+            ok = (bool(res.solution.valid) and rot_err < rot_thresh_deg
+                  and trans_err < trans_thresh_m)
+            succ.append(ok)
+            rot_errs.append(rot_err)
+            trans_errs.append(trans_err)
+            overlaps.append(measured_overlap(src_xyz, tgt_xyz, gt))
+        out[float(dist)] = {
+            "success_rate": round(float(np.mean(succ)), 4),
+            "mean_overlap": round(float(np.mean(overlaps)), 3),
+            "median_rot_err_deg": round(float(np.median(rot_errs)), 4),
+            "median_trans_err_m": round(float(np.median(trans_errs)), 4),
+            "n_pairs": n_pairs,
+        }
+    return out
 
 
 def evaluate_scaling(batch_per_device: int = 4,

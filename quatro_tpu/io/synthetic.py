@@ -25,24 +25,51 @@ import numpy as np
 
 from quatro_tpu.config import LidarConfig
 
-_FIXTURE_VERSION = 4  # v4: clearance by resampling (v3's rim-push built
-                      # courtyard walls around poses; v2/v1 let wide boxes
-                      # swallow poses entirely)
+_FIXTURE_VERSION = 5  # v5: terrain + dynamic clutter (v4: clearance by
+                      # resampling; v3's rim-push built courtyard walls
+                      # around poses; v2/v1 let wide boxes swallow poses)
+
+
+@dataclass(frozen=True)
+class Terrain:
+    """Smooth non-flat ground: z(x, y) = sx*x + sy*y + amp*sin*cos ripple.
+
+    Sloped/curved terrain stresses Patchwork's per-ring elevation and
+    flatness gates for real (reference: include/patchwork.hpp:394-451 —
+    on a perfectly flat world those gates never fire). Sensors stay
+    gravity-aligned (mounted level), so the ground-truth transform remains
+    quasi-SO(3); combine with eval tilt_deg for non-level platforms.
+    """
+
+    slope_x: float = 0.0
+    slope_y: float = 0.0
+    amp: float = 0.0
+    freq: float = 0.05  # rad/m of the sinusoidal ripple
+
+    def height(self, x, y):
+        base = self.slope_x * x + self.slope_y * y
+        if self.amp:
+            base = base + self.amp * np.sin(self.freq * x) * np.cos(
+                0.83 * self.freq * y + 0.7)
+        return base
 
 
 @dataclass
 class Scene:
-    """Axis-aligned boxes on a ground plane, in world coordinates."""
+    """Axis-aligned boxes on a ground surface, in world coordinates."""
 
     box_min: np.ndarray  # (M, 3)
     box_max: np.ndarray  # (M, 3)
     ground_z: float = 0.0
+    terrain: Terrain | None = None  # None = flat plane at ground_z
+    box_kind: np.ndarray | None = None  # (M,) 0=building 1=car 2=pole
 
 
 def make_scene(seed: int = 0, num_buildings: int = 24, num_cars: int = 16,
                num_poles: int = 30, extent: float = 60.0,
                clear_points: Tuple[Tuple[float, float], ...] = ((0.0, 0.0),),
-               clear_radius: float = 2.5) -> Scene:
+               clear_radius: float = 2.5,
+               terrain: Terrain | None = None) -> Scene:
     """Random urban-ish scene: big boxes (buildings), small boxes (cars),
     thin tall boxes (poles/trunks).
 
@@ -55,7 +82,7 @@ def make_scene(seed: int = 0, num_buildings: int = 24, num_cars: int = 16,
     depend on.
     """
     rng = np.random.default_rng(seed)
-    mins, maxs = [], []
+    mins, maxs, kinds = [], [], []
     clear_pts = np.atleast_2d(np.asarray(clear_points, np.float64))
 
     def violates(cx, cy, sx, sy):
@@ -63,31 +90,69 @@ def make_scene(seed: int = 0, num_buildings: int = 24, num_cars: int = 16,
         dy = np.maximum(np.abs(cy - clear_pts[:, 1]) - sy / 2, 0.0)
         return (np.hypot(dx, dy) < clear_radius).any()
 
-    def add_box(draw_center, sx, sy, sz, z0=0.0):
+    def add_box(draw_center, sx, sy, sz, kind):
         # resample the location until it clears every sensor disc (pushing
         # violators to the disc rim instead would pile boxes into an
         # enclosing "courtyard wall" around the pose); drop after 8 tries
         for _ in range(8):
             cx, cy = draw_center()
             if not violates(cx, cy, sx, sy):
+                z0 = terrain.height(cx, cy) if terrain is not None else 0.0
                 mins.append([cx - sx / 2, cy - sy / 2, z0])
                 maxs.append([cx + sx / 2, cy + sy / 2, z0 + sz])
+                kinds.append(kind)
                 return
 
     for _ in range(num_buildings):
         add_box(lambda: rng.uniform(-extent, extent, 2),
-                rng.uniform(4, 14), rng.uniform(4, 14), rng.uniform(3, 12))
+                rng.uniform(4, 14), rng.uniform(4, 14), rng.uniform(3, 12),
+                kind=0)
     for _ in range(num_cars):
         add_box(lambda: rng.uniform(-extent * 0.6, extent * 0.6, 2),
                 rng.uniform(1.6, 2.2), rng.uniform(3.8, 5.0),
-                rng.uniform(1.4, 1.9))
+                rng.uniform(1.4, 1.9), kind=1)
     for _ in range(num_poles):
         add_box(lambda: rng.uniform(-extent * 0.8, extent * 0.8, 2),
                 rng.uniform(0.25, 0.5), rng.uniform(0.25, 0.5),
-                rng.uniform(3, 7))
+                rng.uniform(3, 7), kind=2)
 
-    return Scene(box_min=np.array(mins, dtype=np.float64),
-                 box_max=np.array(maxs, dtype=np.float64))
+    return Scene(box_min=np.array(mins, dtype=np.float64).reshape(-1, 3),
+                 box_max=np.array(maxs, dtype=np.float64).reshape(-1, 3),
+                 terrain=terrain,
+                 box_kind=np.array(kinds, dtype=np.int32))
+
+
+def displace_cars(scene: Scene, fraction: float, seed: int,
+                  max_shift: float = 8.0) -> Scene:
+    """Dynamic clutter: move `fraction` of the car boxes to new nearby
+    positions (and resize height slightly) — objects that changed between
+    the two captures of a pair, like real traffic. Registration must
+    succeed off the static structure; the moved cars contribute pure
+    outlier correspondences."""
+    if fraction <= 0.0 or scene.box_kind is None:
+        return scene
+    rng = np.random.default_rng(seed)
+    cars = np.flatnonzero(scene.box_kind == 1)
+    n_move = int(round(fraction * cars.size))
+    if n_move == 0:
+        return scene
+    move = rng.choice(cars, size=n_move, replace=False)
+    bmin = scene.box_min.copy()
+    bmax = scene.box_max.copy()
+    shift = rng.uniform(-max_shift, max_shift, (n_move, 2))
+    # keep them at least 2 m displaced so they really are dynamic
+    shift += np.sign(shift) * 2.0
+    bmin[move, :2] += shift
+    bmax[move, :2] += shift
+    if scene.terrain is not None:
+        cx = 0.5 * (bmin[move, 0] + bmax[move, 0])
+        cy = 0.5 * (bmin[move, 1] + bmax[move, 1])
+        h = scene.box_max[move, 2] - scene.box_min[move, 2]
+        z0 = scene.terrain.height(cx, cy)
+        bmin[move, 2] = z0
+        bmax[move, 2] = z0 + h
+    return Scene(box_min=bmin, box_max=bmax, ground_z=scene.ground_z,
+                 terrain=scene.terrain, box_kind=scene.box_kind)
 
 
 def _ray_box_hits(origins: np.ndarray, dirs: np.ndarray,
@@ -132,15 +197,37 @@ def raycast_scan(scene: Scene, sensor_xyz: np.ndarray, sensor_yaw: float,
     dirs = dirs.reshape(-1, 3)
     origins = np.broadcast_to(np.asarray(sensor_xyz, np.float64), dirs.shape)
 
-    # Ground plane hit.
+    # Ground hit: flat plane, or fixed-point iteration against the terrain
+    # height field (converges in a few steps for gentle slopes; rays that
+    # fail to converge are treated as misses — they graze near-horizontally
+    # and land beyond max_range anyway).
     dz = dirs[:, 2]
-    t_ground = np.where(dz < -1e-9,
-                        (scene.ground_z - origins[:, 2]) / np.where(dz == 0, 1, dz),
-                        np.inf)
+    safe_dz = np.where(dz == 0, 1, dz)
+    if scene.terrain is None:
+        t_ground = np.where(dz < -1e-9,
+                            (scene.ground_z - origins[:, 2]) / safe_dz,
+                            np.inf)
+    else:
+        descending = dz < -1e-3
+        h0 = scene.ground_z + scene.terrain.height(origins[:, 0],
+                                                   origins[:, 1])
+        t_g = np.where(descending, (h0 - origins[:, 2]) / safe_dz, np.inf)
+        t_g = np.clip(np.where(np.isfinite(t_g), t_g, 0.0), 0.0, max_range)
+        for _ in range(12):
+            x = origins[:, 0] + t_g * dirs[:, 0]
+            y = origins[:, 1] + t_g * dirs[:, 1]
+            h = scene.ground_z + scene.terrain.height(x, y)
+            t_g = np.clip((h - origins[:, 2]) / safe_dz, 0.0, max_range)
+        x = origins[:, 0] + t_g * dirs[:, 0]
+        y = origins[:, 1] + t_g * dirs[:, 1]
+        z = origins[:, 2] + t_g * dz
+        h = scene.ground_z + scene.terrain.height(x, y)
+        converged = descending & (np.abs(z - h) < 0.02) & (t_g > 0)
+        t_ground = np.where(converged, t_g, np.inf)
     # Boxes — chunk over rays to bound memory.
     t_box = np.full(dirs.shape[0], np.inf)
     chunk = 16384
-    for s in range(0, dirs.shape[0], chunk):
+    for s in range(0, dirs.shape[0] if scene.box_min.size else 0, chunk):
         e = s + chunk
         t_box[s:e] = _ray_box_hits(origins[s:e], dirs[s:e],
                                    scene.box_min, scene.box_max).min(axis=1)
@@ -175,6 +262,8 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
                    sensor_height: float = 1.723,
                    lidar: LidarConfig = LidarConfig(),
                    cache_dir: str | None = None,
+                   terrain: Terrain | None = None,
+                   dynamic_fraction: float = 0.0,
                    **scan_kwargs):
     """Two scans of one world from two poses + the ground-truth transform.
 
@@ -184,6 +273,13 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
 
     Pose A is the *target* frame origin; pose B (displaced by `translation`
     and rotated by `yaw_deg`) produces the *source* scan.
+
+    With `terrain`, the ground is sloped/curved and each sensor sits at
+    terrain height + sensor_height over its own xy (still gravity-aligned,
+    so gt stays quasi-SO(3) with the true z offset). With
+    `dynamic_fraction` > 0, that share of the car boxes MOVES between the
+    two captures (traffic) — pure outlier structure the pipeline must
+    reject.
     """
     cache_path = None
     if cache_dir is not None:
@@ -194,7 +290,8 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
         # generation changes so stale cached pairs are regenerated.
         key = hashlib.sha1(repr((_FIXTURE_VERSION, seed, yaw_deg,
                                  tuple(translation),
-                                 sensor_height, lidar, sorted(
+                                 sensor_height, lidar, terrain,
+                                 dynamic_fraction, sorted(
                                      scan_kwargs.items()))).encode()
                            ).hexdigest()[:16]
         cache_path = os.path.join(cache_dir, f"pair_{key}.npz")
@@ -203,13 +300,18 @@ def make_scan_pair(seed: int = 0, yaw_deg: float = 25.0,
             return z["src"], z["tgt"], z["gt"]
 
     yaw = np.deg2rad(yaw_deg)
-    t_a = np.array([0.0, 0.0, sensor_height])
-    t_b = t_a + np.asarray(translation, np.float64)
+    tr = np.asarray(translation, np.float64)
+    ha = terrain.height(0.0, 0.0) if terrain is not None else 0.0
+    hb = terrain.height(tr[0], tr[1]) if terrain is not None else 0.0
+    t_a = np.array([0.0, 0.0, ha + sensor_height])
+    t_b = np.array([tr[0], tr[1], hb + sensor_height + tr[2]])
     scene = make_scene(seed, clear_points=((t_a[0], t_a[1]),
-                                           (t_b[0], t_b[1])))
+                                           (t_b[0], t_b[1])),
+                       terrain=terrain)
+    scene_b = displace_cars(scene, dynamic_fraction, seed=seed + 31)
 
     tgt = raycast_scan(scene, t_a, 0.0, lidar=lidar, seed=seed + 1, **scan_kwargs)
-    src = raycast_scan(scene, t_b, yaw, lidar=lidar, seed=seed + 2, **scan_kwargs)
+    src = raycast_scan(scene_b, t_b, yaw, lidar=lidar, seed=seed + 2, **scan_kwargs)
 
     # src frame -> tgt frame: p_A = R_A^T R_B p_B + R_A^T (t_B - t_A);
     # with R_A = I, R_B = Rz(yaw):

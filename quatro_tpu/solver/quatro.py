@@ -92,7 +92,8 @@ def register_correspondences(
         adj, mask, mode=config.inlier_selection_mode,
         kcore_threshold=config.kcore_heuristic_threshold,
         num_seeds=config.clique_num_seeds,
-        max_size=config.max_clique_size)
+        max_size=config.max_clique_size,
+        swap_rounds=config.clique_swap_rounds)
     return _solve_from_inliers(src, tgt, clique_mask, valid, scale,
                                config, prior_ryrx, has_prior)
 
@@ -224,11 +225,15 @@ def register_hypotheses(
         adj, mask, mode=config.inlier_selection_mode,
         kcore_threshold=config.kcore_heuristic_threshold,
         num_seeds=config.clique_num_seeds,
-        max_size=config.max_clique_size)
+        max_size=config.max_clique_size,
+        swap_rounds=config.clique_swap_rounds)
     grown = clique_mod.grow_greedy_cliques(
         adj, clique_mod.clique_seed_scores(adj, mask), mask,
         num_seeds=config.clique_num_seeds,
         max_size=config.max_clique_size)
+    grown = clique_mod.improve_top_cliques(
+        adj, grown, mask, top=max(8, k),
+        rounds=config.clique_swap_rounds)
     cliques, sizes = clique_mod.top_distinct_cliques(
         jnp.concatenate([sel0[None], grown]), k, force_first=True)
     valid_k = sizes > 1

@@ -70,3 +70,76 @@ def test_outlier_robustness_sweep_small():
     for rate, stats in res.items():
         assert stats["n_trials"] == 6
         assert stats["success_rate"] >= 5 / 6, (rate, stats)
+
+
+def test_terrain_raycast_consistency():
+    """Sloped+curved ground: cast points must lie ON the terrain surface
+    under the scan's own ground band, and the pair's ground truth must
+    carry the terrain height difference in z."""
+    from quatro_tpu.io.synthetic import Scene, Terrain, make_scene, \
+        raycast_scan
+
+    ter = Terrain(slope_x=0.06, slope_y=0.02, amp=0.5, freq=0.1)
+    scene = make_scene(seed=2, num_buildings=0, num_cars=0, num_poles=0,
+                       terrain=ter)
+    pts = raycast_scan(scene, np.array([0.0, 0.0, 1.7]), 0.0,
+                       noise_std=0.0, dropout=0.0, texture_amp=0.0, seed=0)
+    assert pts.shape[0] > 1000
+    # all points are ground hits; world frame == sensor frame + origin here
+    world = pts + np.array([0.0, 0.0, 1.7], np.float32)
+    h = ter.height(world[:, 0], world[:, 1])
+    err = np.abs(world[:, 2] - h)
+    assert np.median(err) < 0.03, float(np.median(err))
+    assert (err < 0.1).mean() > 0.98
+
+
+def test_scan_pair_terrain_gt_z():
+    from quatro_tpu.io.synthetic import Terrain, make_scan_pair
+    ter = Terrain(slope_x=0.08)
+    _, _, gt = make_scan_pair(seed=1, yaw_deg=10.0,
+                              translation=(4.0, 0.0, 0.0), terrain=ter)
+    # pose B sits 4 m up an 8% slope -> gt z ~ 0.32 m
+    assert abs(gt[2, 3] - 0.32) < 0.05, gt[:3, 3]
+
+
+def test_dynamic_clutter_moves_only_cars():
+    from quatro_tpu.io.synthetic import displace_cars, make_scene
+    scene = make_scene(seed=4)
+    moved = displace_cars(scene, fraction=0.5, seed=9)
+    delta = np.abs(moved.box_min - scene.box_min).sum(axis=1)
+    assert (delta[scene.box_kind != 1] == 0).all()
+    n_cars = int((scene.box_kind == 1).sum())
+    assert (delta[scene.box_kind == 1] > 0).sum() == round(0.5 * n_cars)
+
+
+def test_loop_closure_eval_hard_world():
+    """Sloped/curved terrain + 40% dynamic cars: the full pipeline must
+    still register (Patchwork's elevation/flatness gates and the outlier
+    rejection actually get exercised). Also checks the strict tier is
+    reported."""
+    lidar = LidarConfig.preset("VLP-16")
+    cfg = PipelineConfig(lidar=lidar, max_voxels=2048,
+                         fpfh=FPFHConfig.for_lidar(
+                             lidar, max_correspondences=256))
+    from quatro_tpu.io.synthetic import Terrain
+    report = evaluate_loop_closures(
+        n_pairs=5, config=cfg, raw_capacity=32768, trans_range=4.0,
+        terrain=Terrain(slope_x=0.05, slope_y=0.02, amp=0.3, freq=0.08),
+        dynamic_fraction=0.4)
+    s = report.summary()
+    assert "strict_success_rate" in s
+    assert s["success_rate"] >= 4 / 5, s
+
+
+def test_overlap_sweep_smoke():
+    from quatro_tpu.eval import evaluate_overlap_sweep
+    lidar = LidarConfig.preset("VLP-16")
+    cfg = PipelineConfig(lidar=lidar, max_voxels=2048,
+                         fpfh=FPFHConfig.for_lidar(
+                             lidar, max_correspondences=256))
+    res = evaluate_overlap_sweep(baselines=(3.0,), n_pairs=3, config=cfg,
+                                 raw_capacity=32768)
+    st = res[3.0]
+    assert st["n_pairs"] == 3
+    assert 0.0 < st["mean_overlap"] <= 1.0
+    assert st["success_rate"] >= 2 / 3, st

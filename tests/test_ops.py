@@ -115,8 +115,10 @@ def test_pair_features_ranges(rng):
     n1 /= np.linalg.norm(n1, axis=1, keepdims=True)
     n2 = rng.normal(size=(100, 3)).astype(np.float32)
     n2 /= np.linalg.norm(n2, axis=1, keepdims=True)
-    f1, f2, f3, ok = pair_features(jnp.asarray(p1), jnp.asarray(n1),
-                                   jnp.asarray(p2), jnp.asarray(n2))
+    def soa(a):  # pair_features takes (x, y, z) component tuples
+        a = jnp.asarray(a)
+        return (a[:, 0], a[:, 1], a[:, 2])
+    f1, f2, f3, ok = pair_features(soa(p1), soa(n1), soa(p2), soa(n2))
     f1, f2, f3 = np.asarray(f1), np.asarray(f2), np.asarray(f3)
     ok = np.asarray(ok)
     assert (np.abs(f1[ok]) <= np.pi + 1e-5).all()

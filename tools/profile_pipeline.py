@@ -20,10 +20,7 @@ import numpy as np
 
 from quatro_tpu.config import FPFHConfig, PipelineConfig
 from quatro_tpu.io.synthetic import make_scan_pair
-from quatro_tpu.ops.fpfh import compute_fpfh
 from quatro_tpu.ops.matching import match_features
-from quatro_tpu.ops.neighbors import radius_neighbors
-from quatro_tpu.ops.normals import estimate_normals
 from quatro_tpu.ops.voxel import voxel_downsample
 from quatro_tpu.pipeline import preprocess, register_scan_pair
 from quatro_tpu.solver.quatro import register_correspondences
@@ -67,25 +64,23 @@ def main():
     total += 2 * dt
     tp, tm = vox(tgt.points, seg_t)
 
-    nbr_n = jax.jit(lambda p, m: radius_neighbors(
-        p, m, config.fpfh.normal_radius, config.fpfh.max_neighbors_normal))
-    nn, dt = timeit("radius_neighbors (normals)", nbr_n, vp, vm, reps=reps)
+    # The pipeline hot path runs the DENSE tiled front-end
+    # (ops/dense_features.py) — no neighbor lists; see
+    # docs/architecture.md "Gathers are the enemy".
+    from quatro_tpu.ops.dense_features import dense_fpfh, dense_normals
+
+    nrm = jax.jit(lambda p, m: dense_normals(p, m,
+                                             config.fpfh.normal_radius))
+    normals, dt = timeit("dense_normals", nrm, vp, vm, reps=reps)
     total += 2 * dt
 
-    nrm = jax.jit(lambda p, n: estimate_normals(p, n))
-    normals, dt = timeit("estimate_normals", nrm, vp, nn, reps=reps)
+    fp = jax.jit(lambda p, n, nv, m: dense_fpfh(p, n, nv, m,
+                                                config.fpfh.fpfh_radius))
+    desc, dt = timeit("dense_fpfh", fp, vp, normals.normals, normals.valid,
+                      vm, reps=reps)
     total += 2 * dt
-
-    nbr_f = jax.jit(lambda p, m: radius_neighbors(
-        p, m, config.fpfh.fpfh_radius, config.fpfh.max_neighbors_fpfh))
-    nf, dt = timeit("radius_neighbors (fpfh)", nbr_f, vp, vm, reps=reps)
-    total += 2 * dt
-
-    fp = jax.jit(lambda p, n, nb: compute_fpfh(p, n, nb))
-    desc, dt = timeit("compute_fpfh", fp, vp, normals.normals, nf, reps=reps)
-    total += 2 * dt
-    t_normals = nrm(tp, nbr_n(tp, tm))
-    t_desc = fp(tp, t_normals.normals, nbr_f(tp, tm))
+    t_normals = nrm(tp, tm)
+    t_desc = fp(tp, t_normals.normals, t_normals.valid, tm)
 
     # NB: pass device arrays as ARGUMENTS, never close over them — a closed-
     # over array becomes an executable constant, and constants are re-staged
