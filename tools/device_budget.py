@@ -74,7 +74,7 @@ def prepare(args):
                            "seg_s", "seg_t", "vox_s", "voxm_s",
                            "vox_t", "voxm_t", "nrm_t", "nrmv_t",
                            "desc_s", "dm_s", "desc_t", "dm_t",
-                           "cs", "ct", "cm")]
+                           "cs", "ct", "cm")}
     for k in range(n_distinct):
         a, b, _ = make_scan_pair(seed=k, yaw_deg=10.0 + 7 * k,
                                  translation=(2.0 + 0.3 * k, 1.0 - 0.2 * k,
