@@ -173,6 +173,11 @@ class FPFHConfig:
     tuple_seed: int = 0
     # Static cap on matched correspondences fed to the solver.
     max_correspondences: int = 1024
+    # Fused Pallas normals/SPFH/FPFH kernels (ops/pallas_frontend.py):
+    # None = auto (on for TPU backends, where the XLA dense form's HBM
+    # traffic is the pipeline bottleneck); the dense XLA path stays the
+    # CPU/test oracle.
+    use_pallas_frontend: Optional[bool] = None
 
     def __post_init__(self):
         if self.normal_radius > self.fpfh_radius:

@@ -49,11 +49,19 @@ def _nearest_neighbors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                        row_block: int = 1024):
     """Per-row nearest neighbor of A in B: (nn index (Na,), nn d2 (Na,)).
 
-    Blocked over rows of A so only a (row_block, Nb) distance tile is ever
-    live — the full (Na, Nb) matrix is 256 MB at 8k x 8k f32, and keeping
-    B of them alive under vmap is what capped the batched pipeline at
-    B=16 on a v5e (B=32 spilled HBM and ran ~1000x slower, measured).
-    Invalid rows get index 0 / +max."""
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas_frontend.py::nearest_neighbors_pallas): the column
+    descriptor set stays VMEM-resident across row tiles, so HBM sees only
+    descriptors in / indices out (~4 MB instead of ~0.5 GB of distance
+    tiles per pair). The XLA path blocks over rows of A so only a
+    (row_block, Nb) distance tile is ever live — the full (Na, Nb) matrix
+    is 256 MB at 8k x 8k f32, and keeping B of them alive under vmap is
+    what capped the batched pipeline at B=16 on a v5e (B=32 spilled HBM
+    and ran ~1000x slower, measured). Invalid rows get index 0 / +max."""
+    from quatro_tpu.ops.pallas_frontend import (nearest_neighbors_pallas,
+                                                use_pallas_frontend_default)
+    if use_pallas_frontend_default() and desc_a.shape[0] % 256 == 0:
+        return nearest_neighbors_pallas(desc_a, desc_b, mask_a, mask_b)
     from quatro_tpu.ops.neighbors import pairwise_sq_dists
     dtype = desc_a.dtype
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -73,6 +81,61 @@ def _nearest_neighbors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     nn, d2min = jax.lax.map(block, (da.reshape(-1, row_block, da.shape[1]),
                                     ma.reshape(-1, row_block)))
     return nn.reshape(-1)[:na], d2min.reshape(-1)[:na]
+
+
+def tuple_test_keep(cs: tuple, ct: tuple, cand_pos: jnp.ndarray,
+                    ncorr: jnp.ndarray, tuple_scale: float = 0.95,
+                    trials_per_corr: int = 100, seed: int = 0):
+    """Shift-structured tuple (length-ratio) test.
+
+    reference: feature_matcher.cc:187-247 — random triples of candidate
+    pairs, all three length-ratio gates must pass; passing triples mark
+    their three pairs as kept. Re-designed TPU-native: instead of gathering
+    ncorr*100 random index triples (3M gathered indices ~ 25 ms of
+    tile-DMAs per pair, measured), triples are SHIFT-STRUCTURED — for
+    `trials_per_corr` pseudo-random shift pairs (s1, s2) drawn host-side
+    from `seed`, trial i tests candidates (i, i+s1 mod n, i+s2 mod n) via
+    jnp.roll of the candidate coordinate columns. Every pair participates
+    in exactly 3*trials_per_corr triples (the reference's expected count),
+    the draw is deterministic, and the whole test is rolls + VPU math — no
+    gathers, no scatters. The statistical delta vs i.i.d. triples is
+    quantified in tests/test_matching_stats.py.
+
+    cs/ct: coordinate component tuples (3 x (n_cand,)) of the compacted
+    candidates; cand_pos: (n_cand,) bool validity; ncorr: live count.
+    """
+    import numpy as _np
+    n_cand = cand_pos.shape[0]
+    host_rng = _np.random.default_rng(seed)
+    shifts = _np.unique(
+        host_rng.integers(1, max(n_cand - 1, 2),
+                          size=(4 * trials_per_corr, 2)), axis=0)
+    shifts = shifts[shifts[:, 0] != shifts[:, 1]][:trials_per_corr]
+    shifts = jnp.asarray(shifts, jnp.int32)  # (T, 2)
+    iota_c = jnp.arange(n_cand, dtype=jnp.int32)
+
+    def lengths(p, q):
+        return jnp.sqrt(sum((p[c] - q[c]) ** 2 for c in range(3)))
+
+    def trial(keep_acc, s):
+        s1, s2 = s[0], s[1]
+        r1 = tuple(jnp.roll(c, -s1) for c in cs)
+        r2 = tuple(jnp.roll(c, -s2) for c in cs)
+        t1 = tuple(jnp.roll(c, -s1) for c in ct)
+        t2 = tuple(jnp.roll(c, -s2) for c in ct)
+        li = (lengths(cs, r1), lengths(r1, r2), lengths(r2, cs))
+        lj = (lengths(ct, t1), lengths(t1, t2), lengths(t2, ct))
+        geo = jnp.ones((n_cand,), bool)
+        for a, b in zip(li, lj):
+            geo &= (a * tuple_scale < b) & (b < a / tuple_scale)
+        m1 = (iota_c + s1) % n_cand < ncorr
+        m2 = (iota_c + s2) % n_cand < ncorr
+        ok = geo & cand_pos & m1 & m2
+        hit = ok | jnp.roll(ok, s1) | jnp.roll(ok, s2)
+        return keep_acc | hit, None
+
+    tuple_keep, _ = jax.lax.scan(trial, jnp.zeros((n_cand,), bool), shifts)
+    return tuple_keep & cand_pos
 
 
 @partial(jax.jit, static_argnames=("capacity", "use_crosscheck",
@@ -136,53 +199,12 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
 
     keep = cand_pos
     if use_tuple_test:
-        # reference: feature_matcher.cc:187-247 — random triples of
-        # candidate pairs, all three length-ratio gates must pass; passing
-        # triples mark their three pairs as kept. Re-designed TPU-native:
-        # instead of gathering ncorr*100 random index triples (3M gathered
-        # indices ~ 25 ms of tile-DMAs per pair, measured), triples are
-        # SHIFT-STRUCTURED — for `trials_per_corr` pseudo-random shift
-        # pairs (s1, s2) drawn host-side from `seed`, trial i tests
-        # candidates (i, i+s1 mod n, i+s2 mod n) via jnp.roll of the
-        # candidate coordinate columns. Every pair participates in exactly
-        # 3*trials_per_corr triples (the reference's expected count), the
-        # draw is deterministic, and the whole test is rolls + VPU math —
-        # no gathers, no scatters.
-        import numpy as _np
-        host_rng = _np.random.default_rng(seed)
-        shifts = _np.unique(
-            host_rng.integers(1, max(n_cand - 1, 2),
-                              size=(4 * trials_per_corr, 2)), axis=0)
-        shifts = shifts[shifts[:, 0] != shifts[:, 1]][:trials_per_corr]
-        shifts = jnp.asarray(shifts, jnp.int32)  # (T, 2)
-
         cs = tuple(src_xyz[:, c][cand_src] for c in range(3))  # (n_cand,) x3
         ct = tuple(tgt_xyz[:, c][cand_tgt] for c in range(3))
-        iota_c = jnp.arange(n_cand, dtype=jnp.int32)
-
-        def lengths(p, q):
-            return jnp.sqrt(sum((p[c] - q[c]) ** 2 for c in range(3)))
-
-        def trial(keep_acc, s):
-            s1, s2 = s[0], s[1]
-            r1 = tuple(jnp.roll(c, -s1) for c in cs)
-            r2 = tuple(jnp.roll(c, -s2) for c in cs)
-            t1 = tuple(jnp.roll(c, -s1) for c in ct)
-            t2 = tuple(jnp.roll(c, -s2) for c in ct)
-            li = (lengths(cs, r1), lengths(r1, r2), lengths(r2, cs))
-            lj = (lengths(ct, t1), lengths(t1, t2), lengths(t2, ct))
-            geo = jnp.ones((n_cand,), bool)
-            for a, b in zip(li, lj):
-                geo &= (a * tuple_scale < b) & (b < a / tuple_scale)
-            m1 = (iota_c + s1) % n_cand < ncorr
-            m2 = (iota_c + s2) % n_cand < ncorr
-            ok = geo & cand_pos & m1 & m2
-            hit = ok | jnp.roll(ok, s1) | jnp.roll(ok, s2)
-            return keep_acc | hit, None
-
-        tuple_keep, _ = jax.lax.scan(trial, jnp.zeros((n_cand,), bool),
-                                     shifts)
-        tuple_keep &= cand_pos
+        tuple_keep = tuple_test_keep(cs, ct, cand_pos, ncorr,
+                                     tuple_scale=tuple_scale,
+                                     trials_per_corr=trials_per_corr,
+                                     seed=seed)
         # Robustness addition over the reference: when the tuple test
         # collapses (low-overlap pairs leave too few consistent triples,
         # where the reference proceeds with ~0 correspondences and aborts,

@@ -4,10 +4,27 @@ The reference wraps ``pcl::VoxelGrid`` (reference: include/quatro.hpp:49-68,
 invoked at examples/run_global_registration.cpp:206-207), which computes the
 centroid of the points in each occupied leaf.
 
-TPU-native design: no hash map — integer voxel coordinates pack into a
-two-word (hi, lo) key, one lexicographic sort groups points by voxel, and
-segment-sums produce centroids. Static output capacity + mask replaces the
-dynamically sized filtered cloud.
+TPU-native design (round 3, scatter-free): on TPU every random-access
+gather/scatter element costs a tile-sized DMA (~8 ns measured), so the
+former argsort -> gather -> segment_sum -> scatter chain spent ~19 ms per
+131k-point cloud almost entirely in data movement. This version moves data
+exclusively through ONE sorting network and regular scans:
+
+  1. one ``lax.sort`` over a single 30-bit voxel key carries the payloads
+     (voxel-corner-relative fractional coordinates + validity) through the
+     sort network — no index materialization, no gathers;
+  2. run-length bookkeeping (per-voxel counts, run starts) via compare /
+     cumsum / flipped-cummin scans — regular memory access only;
+  3. per-voxel centroid sums via global cumsum DIFFERENCES at run
+     boundaries. Summing corner-relative fractions (|f| < leaf) keeps the
+     global cumsum magnitude ~1e4 smaller than raw coordinates would be,
+     so the f32 prefix-difference error is ~1e-4 leaf units (pinned in
+     tests/test_ops.py against the float64 oracle);
+  4. only V-sized (= capacity, 8192 default) gathers remain: top-k run
+     starts and the final centroid/key lookups.
+
+Static output capacity + mask replaces the dynamically sized filtered
+cloud.
 """
 
 from __future__ import annotations
@@ -17,10 +34,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Cells per axis. 15 bits per axis split across two int32 key words
-# (hi = x, lo = y * _GRID + z < 2^30), so no axis ever clips into a
-# neighbor: at a 0.3 m leaf this spans 9.8 km, at 0.01 m still 327 m.
-_GRID = 1 << 15
+# Cells per axis: 10 bits each, packed into one non-negative int32 key.
+# At a 0.3 m leaf this spans 307 m — comfortably beyond LiDAR range; points
+# outside are dropped (pathological clouds only).
+_BITS = 10
+_GRID = 1 << _BITS
 
 
 @partial(jax.jit, static_argnames=("capacity",))
@@ -30,10 +48,6 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
 
     points: (N, 3); mask: (N,). Returns (out_points (capacity, 3),
     out_mask (capacity,)).
-
-    Points beyond _GRID cells from the min corner (pathological: >9.8 km
-    extent at the default 0.3 m leaf) are dropped rather than wrapped or
-    merged into boundary voxels.
 
     Overflow policy: when more than `capacity` voxels are occupied, the
     voxels with the MOST points win. Point count is a property of the world
@@ -45,45 +59,80 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     n = points.shape[0]
     dtype = points.dtype
     inv = jnp.asarray(1.0 / voxel_size, dtype)
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
 
     minb = jnp.min(jnp.where(mask[:, None], points,
                              jnp.asarray(jnp.inf, dtype)), axis=0)
-    coords_f = jnp.floor((points - minb) * inv)
-    coords_f = jnp.where(mask[:, None], coords_f, 0.0)  # no inf-inf NaNs
-    in_grid = mask & jnp.all((coords_f >= 0) & (coords_f < _GRID), axis=1)
-    coords = coords_f.astype(jnp.int32)
+    cx = jnp.floor((x - minb[0]) * inv)
+    cy = jnp.floor((y - minb[1]) * inv)
+    cz = jnp.floor((z - minb[2]) * inv)
+    in_grid = (mask & (cx >= 0) & (cx < _GRID) & (cy >= 0) & (cy < _GRID)
+               & (cz >= 0) & (cz < _GRID))
+    cx = jnp.where(in_grid, cx, 0.0)
+    cy = jnp.where(in_grid, cy, 0.0)
+    cz = jnp.where(in_grid, cz, 0.0)
+    key = (cx.astype(jnp.int32) << (2 * _BITS)) \
+        + (cy.astype(jnp.int32) << _BITS) + cz.astype(jnp.int32)
+    key = jnp.where(in_grid, key, jnp.iinfo(jnp.int32).max)  # invalid last
 
-    big = jnp.iinfo(jnp.int32).max
-    key_hi = jnp.where(in_grid, coords[:, 0], big)       # masked sort last
-    key_lo = jnp.where(in_grid, coords[:, 1] * _GRID + coords[:, 2], big)
+    # Corner-relative fractions in leaf units: bounded [0, 1), so the
+    # global prefix sums below stay small enough for f32 differences.
+    fx = jnp.where(in_grid, (x - minb[0]) * inv - cx, 0.0)
+    fy = jnp.where(in_grid, (y - minb[1]) * inv - cy, 0.0)
+    fz = jnp.where(in_grid, (z - minb[2]) * inv - cz, 0.0)
 
-    order = jnp.lexsort((key_lo, key_hi))                # primary: key_hi
-    hi_s = key_hi[order]
-    lo_s = key_lo[order]
-    pts_s = points[order]
-    valid_s = in_grid[order]
+    key_s, fx_s, fy_s, fz_s, valid_s = jax.lax.sort(
+        (key, fx, fy, fz, in_grid.astype(jnp.float32)), num_keys=1)
+    valid_b = valid_s > 0
 
-    is_new = jnp.concatenate(
-        [jnp.ones(1, bool),
-         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])]) & valid_s
-    rank = jnp.cumsum(is_new) - 1                     # voxel id per point
-    rank = jnp.where(valid_s, rank, n - 1)            # park masked points
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate([jnp.ones(1, bool),
+                              key_s[1:] != key_s[:-1]]) & valid_b
+    # next run start after each position (inclusive scan from the right);
+    # the sentinel handles the final run.
+    start_pos = jnp.where(is_new, pos, n)
+    next_start = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(jnp.concatenate([is_new[1:], jnp.ones(1, bool)]),
+                  pos + 1, n))))
+    # run length at run-start positions (garbage elsewhere, masked by
+    # is_new); invalid tail never starts a run.
+    run_len = jnp.where(is_new, next_start - start_pos, 0)
 
-    # per-voxel point counts at full resolution (<= n distinct voxels)
-    counts_all = jax.ops.segment_sum(valid_s.astype(jnp.int32), rank,
-                                     num_segments=n)
-    # top-`capacity` voxels by count; ties broken toward lower voxel id
-    _, chosen = jax.lax.top_k(counts_all, min(capacity, n))
-    slot_of_voxel = jnp.full((n,), capacity, jnp.int32).at[chosen].set(
-        jnp.arange(chosen.shape[0], dtype=jnp.int32))
+    # top-`capacity` voxels by occupancy; ties toward lower position
+    # (= lower voxel key, matching the previous implementation).
+    k = min(capacity, n)
+    counts_top, starts_top = jax.lax.top_k(run_len, k)
 
-    seg = jnp.where(valid_s, slot_of_voxel[rank], capacity)
-    in_cap = seg < capacity
-    sums = jax.ops.segment_sum(
-        jnp.where(in_cap[:, None], pts_s, 0.0), seg,
-        num_segments=capacity + 1)[:capacity]
-    counts = jax.ops.segment_sum(in_cap.astype(dtype), seg,
-                                 num_segments=capacity + 1)[:capacity]
-    out_mask = counts > 0
-    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
-    return jnp.where(out_mask[:, None], centroids, 0.0), out_mask
+    csx = jnp.cumsum(fx_s)
+    csy = jnp.cumsum(fy_s)
+    csz = jnp.cumsum(fz_s)
+
+    def run_sum(cs):
+        ends = starts_top + counts_top            # exclusive end
+        hi = cs[jnp.clip(ends - 1, 0, n - 1)]
+        lo = jnp.where(starts_top > 0, cs[jnp.maximum(starts_top - 1, 0)],
+                       0.0)
+        return hi - lo
+
+    out_mask = counts_top > 0
+    cnt = jnp.maximum(counts_top, 1).astype(dtype)
+    kk = key_s[jnp.minimum(starts_top, n - 1)]
+    kx = (kk >> (2 * _BITS)).astype(dtype)
+    ky = ((kk >> _BITS) & (_GRID - 1)).astype(dtype)
+    kz = (kk & (_GRID - 1)).astype(dtype)
+    leaf = jnp.asarray(voxel_size, dtype)
+    ox = minb[0] + (kx + run_sum(csx) / cnt) * leaf
+    oy = minb[1] + (ky + run_sum(csy) / cnt) * leaf
+    oz = minb[2] + (kz + run_sum(csz) / cnt) * leaf
+
+    if k < capacity:
+        pad = capacity - k
+        ox = jnp.concatenate([ox, jnp.zeros(pad, dtype)])
+        oy = jnp.concatenate([oy, jnp.zeros(pad, dtype)])
+        oz = jnp.concatenate([oz, jnp.zeros(pad, dtype)])
+        out_mask = jnp.concatenate([out_mask, jnp.zeros(pad, bool)])
+
+    out = jnp.stack([jnp.where(out_mask, ox, 0.0),
+                     jnp.where(out_mask, oy, 0.0),
+                     jnp.where(out_mask, oz, 0.0)], axis=-1)
+    return out, out_mask

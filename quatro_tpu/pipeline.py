@@ -52,13 +52,28 @@ def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
     neighborhoods, no gathered neighbor lists (each gathered index costs a
     tile DMA on TPU; the K-capped path spent ~0.4 s/pair in gathers).
     """
-    from quatro_tpu.ops.dense_features import dense_fpfh, dense_normals
+    from quatro_tpu.ops.pallas_frontend import use_pallas_frontend_default
 
+    use_pallas = config.fpfh.use_pallas_frontend
+    if use_pallas is None:
+        use_pallas = use_pallas_frontend_default()
     vox_pts, vox_mask = voxel_downsample(points, mask, config.voxel_size,
                                          config.max_voxels)
-    normals = dense_normals(vox_pts, vox_mask, config.fpfh.normal_radius)
-    desc = dense_fpfh(vox_pts, normals.normals, normals.valid, vox_mask,
-                      config.fpfh.fpfh_radius)
+    if use_pallas and vox_pts.shape[0] % 512 == 0:
+        # Fused VMEM-resident kernels: the XLA dense form's (T, V)
+        # intermediates cost ~140 GB/pair of HBM traffic (BENCH_r02 cost
+        # analysis); the Pallas form touches HBM only for inputs/outputs.
+        from quatro_tpu.ops.pallas_frontend import (frontend_fpfh,
+                                                    frontend_normals)
+        normals = frontend_normals(vox_pts, vox_mask,
+                                   config.fpfh.normal_radius)
+        desc = frontend_fpfh(vox_pts, normals.normals, normals.valid,
+                             vox_mask, config.fpfh.fpfh_radius)
+    else:
+        from quatro_tpu.ops.dense_features import dense_fpfh, dense_normals
+        normals = dense_normals(vox_pts, vox_mask, config.fpfh.normal_radius)
+        desc = dense_fpfh(vox_pts, normals.normals, normals.valid, vox_mask,
+                          config.fpfh.fpfh_radius)
     desc_mask = vox_mask & normals.valid
     return PointBatch(vox_pts, vox_mask), desc, desc_mask, normals
 

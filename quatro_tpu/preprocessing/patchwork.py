@@ -6,16 +6,36 @@ plus an uprightness/elevation/flatness gate cascade
 (reference: include/patchwork.hpp:329-476, plane fit :264-279, seeds
 :283-318, CZM binning :512-540, gates :394-451).
 
-TPU-native design: one flat (num_patches, C) point table built with two
-sorts (global z-sort, then stable patch-id sort — preserving the reference's
-z-ordering within each patch), after which every stage is batched over ALL
-patches simultaneously: masked means/covariances, the closed-form 3x3
-eigensolver from ops.normals, and the gate cascade as pure boolean masking.
-No per-patch loop exists; the only sequential axis is the 3 plane-fit
-iterations.
+TPU-native design (round 3, movement-minimized): on TPU each random-access
+gather/scatter element costs a tile-sized DMA and arrays with a minor
+dimension of 3 pad 42x to the 128-lane tile, so the original
+argsort/gather/einsum formulation spent 33 ms and 43 GB per cloud. This
+version moves points through ONE sorting network and keeps everything else
+as regular scans and structure-of-arrays tables:
+
+  1. one ``lax.sort`` on a composite (patch_id << 21 | quantized_z) key
+     carries x/y/z/original-index payloads — grouping points by patch in
+     within-patch z order (the reference's z-sort + stable patch sort) with
+     no index gathers;
+  2. patch boundaries via ``searchsorted`` (P+1 binary searches), in-patch
+     ranks via a cummax scan — no N-sized table lookups;
+  3. a (P, cap) structure-of-arrays patch table (separate x/y/z planes —
+     never (P, cap, 3)) built with three scatters, on which seeds, the
+     3-iteration plane fit (six covariance components, closed-form 3x3
+     eigensolve) and the gate cascade run as dense masked reductions;
+  4. per-point patch attributes (plane normal, threshold, gate flags)
+     delivered by a P-sized scatter to run starts + one forward-fill
+     associative scan — replacing ~6 N-sized gathers;
+  5. results returned to input order by one final sort on the carried
+     original index.
 
 Points the reference silently drops (out-of-range radius, patches with too
 few points, sub-mirror reflections) are reported in the `dropped` mask.
+Differences vs round 2 (both closer to the reference): ALL patch points
+now participate in the plane fit (the cap applies only to the table; the
+reference has no cap), and within-patch z ties are broken arbitrarily
+(z is quantized to ~40 um for the composite key; the reference's sort is
+unstable too).
 """
 
 from __future__ import annotations
@@ -28,7 +48,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from quatro_tpu.config import PatchworkConfig
-from quatro_tpu.ops.normals import smallest_eigenvector_3x3
+from quatro_tpu.ops.normals import smallest_eigenpair_sym3
+
+_ZBITS = 21
 
 
 class PatchworkResult(NamedTuple):
@@ -68,6 +90,15 @@ def _patch_metadata(cfg: PatchworkConfig):
     return zones, rings, conc, elev_thr, flat_thr
 
 
+def _zone_select(zone: jnp.ndarray, table, dtype) -> jnp.ndarray:
+    """Per-point zone-table lookup as a branchless where-chain (a gather of
+    N indices into even a 4-entry table costs ~1 ms on TPU)."""
+    out = jnp.full(zone.shape, table[-1], dtype)
+    for k in range(len(table) - 2, -1, -1):
+        out = jnp.where(zone == k, jnp.asarray(table[k], dtype), out)
+    return out
+
+
 def czm_bin(points: jnp.ndarray, mask: jnp.ndarray, cfg: PatchworkConfig):
     """Per-point CZM patch id (reference: include/patchwork.hpp:512-540).
 
@@ -75,33 +106,51 @@ def czm_bin(points: jnp.ndarray, mask: jnp.ndarray, cfg: PatchworkConfig):
     patch_id = num_patches (a dump slot).
     """
     dtype = points.dtype
-    min_ranges = jnp.asarray(cfg.min_ranges_each_zone, dtype)
-    nrings = jnp.asarray(cfg.num_rings_each_zone, jnp.int32)
-    nsect = jnp.asarray(cfg.num_sectors_each_zone, jnp.int32)
-    boundaries = jnp.asarray(cfg.ring_boundaries, dtype)  # (Z+1,)
-    ring_sizes = (boundaries[1:] - boundaries[:-1]) / nrings.astype(dtype)
-    sector_sizes = 2 * jnp.pi / nsect.astype(dtype)
-    offsets = jnp.asarray(
-        np.concatenate([[0], np.cumsum(np.multiply(
-            cfg.num_rings_each_zone, cfg.num_sectors_each_zone))[:-1]]),
-        jnp.int32)
+    nrings_l = list(cfg.num_rings_each_zone)
+    nsect_l = list(cfg.num_sectors_each_zone)
+    bounds = list(cfg.ring_boundaries)
+    ring_sizes_l = [(bounds[k + 1] - bounds[k]) / nrings_l[k]
+                    for k in range(cfg.num_zones)]
+    sector_sizes_l = [2 * np.pi / s for s in nsect_l]
+    offsets_l = [0] + list(np.cumsum(
+        np.multiply(nrings_l, nsect_l)))[:-1]
 
     r = jnp.hypot(points[:, 0], points[:, 1])
     theta = jnp.arctan2(points[:, 1], points[:, 0])
     theta = jnp.where(theta > 0, theta, theta + 2 * jnp.pi)
 
     in_czm = (r > cfg.min_r) & (r <= cfg.max_r) & mask
-    zone = jnp.sum(r[:, None] >= boundaries[None, 1:-1], axis=1)
-    zone = zone.astype(jnp.int32)
+    zone = jnp.zeros(r.shape, jnp.int32)
+    for b in bounds[1:-1]:
+        zone = zone + (r >= b).astype(jnp.int32)
 
-    ring = jnp.minimum(((r - min_ranges[zone]) / ring_sizes[zone])
-                       .astype(jnp.int32), nrings[zone] - 1)
-    sector = jnp.minimum((theta / sector_sizes[zone]).astype(jnp.int32),
-                         nsect[zone] - 1)
+    min_rng = _zone_select(zone, list(cfg.min_ranges_each_zone), dtype)
+    ring_sz = _zone_select(zone, ring_sizes_l, dtype)
+    sect_sz = _zone_select(zone, sector_sizes_l, dtype)
+    nrings = _zone_select(zone, nrings_l, jnp.int32)
+    nsect = _zone_select(zone, nsect_l, jnp.int32)
+    offs = _zone_select(zone, offsets_l, jnp.int32)
+
+    ring = jnp.minimum(((r - min_rng) / ring_sz).astype(jnp.int32),
+                       nrings - 1)
+    sector = jnp.minimum((theta / sect_sz).astype(jnp.int32), nsect - 1)
     ring = jnp.clip(ring, 0, None)
-    patch = offsets[zone] + ring * nsect[zone] + sector
+    patch = offs + ring * nsect + sector
     num_patches = cfg.num_patches
     return jnp.where(in_czm, patch, num_patches).astype(jnp.int32), in_czm
+
+
+def _forward_fill(has: jnp.ndarray, channels: tuple):
+    """Propagate the value at each flagged position to every later position
+    (until the next flag) via one associative scan — the gather-free way to
+    broadcast per-patch attributes to the points of each run."""
+    def op(a, b):
+        ah, av = a
+        bh, bv = b
+        return (ah | bh,
+                tuple(jnp.where(bh, bc, ac) for ac, bc in zip(av, bv)))
+    _, filled = jax.lax.associative_scan(op, (has, tuple(channels)))
+    return filled
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -115,88 +164,101 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     p_cnt = cfg.num_patches
     cap = cfg.max_pts_per_patch
 
-    # --- mirror-reflection removal (include/patchwork.hpp:355-365) ----------
-    keep = mask & (points[:, 2] >= -1.8 * cfg.sensor_height)
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    # mirror-reflection removal (include/patchwork.hpp:355-365)
+    keep = mask & (z >= -1.8 * cfg.sensor_height)
 
-    # --- global z-sort, then stable patch sort -> per-patch z order ---------
-    zkey = jnp.where(keep, points[:, 2], jnp.asarray(jnp.inf, dtype))
-    zorder = jnp.argsort(zkey)
-    pts_z = points[zorder]
-    keep_z = keep[zorder]
+    patch_id, in_czm = czm_bin(points, keep, cfg)
 
-    patch_id, in_czm = czm_bin(pts_z, keep_z, cfg)
-    porder = jnp.argsort(patch_id, stable=True)
-    pid_s = patch_id[porder]
-    pts_s = pts_z[porder]
-    valid_s = in_czm[porder]
-    orig_idx = zorder[porder]          # back to input indexing
+    # --- one composite sort: patch-major, z-minor ---------------------------
+    zmin = jnp.min(jnp.where(keep, z, jnp.inf))
+    zspan = jnp.maximum(jnp.max(jnp.where(keep, z, -jnp.inf)) - zmin, 1e-6)
+    zq = jnp.clip((z - zmin) / zspan * ((1 << _ZBITS) - 1),
+                  0, (1 << _ZBITS) - 1).astype(jnp.int32)
+    zq = jnp.where(jnp.isfinite(z) & keep, zq, 0)
+    pid_k = jnp.where(in_czm, patch_id, p_cnt)
+    key = (pid_k << _ZBITS) + zq
 
-    counts = jax.ops.segment_sum(valid_s.astype(jnp.int32), pid_s,
-                                 num_segments=p_cnt + 1)[:p_cnt]
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(counts).astype(jnp.int32)[:-1]])
-    pos = jnp.arange(n)
-    rank = pos - starts[jnp.minimum(pid_s, p_cnt - 1)]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key_s, x_s, y_s, z_s, orig_s = jax.lax.sort((key, x, y, z, iota),
+                                                num_keys=1)
+    pid_s = key_s >> _ZBITS
+    valid_s = pid_s < p_cnt
 
-    in_table = valid_s & (rank < cap) & (pid_s < p_cnt)
-    flat = jnp.where(in_table, pid_s * cap + rank, p_cnt * cap)
-    table_pts = jnp.zeros((p_cnt * cap + 1, 3), dtype).at[flat].set(
-        jnp.where(in_table[:, None], pts_s, 0.0))[:-1].reshape(p_cnt, cap, 3)
-    table_valid = jnp.zeros((p_cnt * cap + 1,), bool).at[flat].set(
-        in_table)[:-1].reshape(p_cnt, cap)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate([jnp.ones(1, bool), pid_s[1:] != pid_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
+    rank = pos - run_start
+
+    starts = jnp.searchsorted(pid_s, jnp.arange(p_cnt + 1, dtype=jnp.int32)
+                              ).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]          # per-patch totals (uncapped)
+
+    # --- (P, cap) structure-of-arrays table (z-ordered rows) ----------------
+    slot = jnp.where(valid_s & (rank < cap), pid_s * cap + rank, p_cnt * cap)
+    def table(v):
+        return jnp.zeros((p_cnt * cap + 1,), dtype).at[slot].set(v)[:-1] \
+            .reshape(p_cnt, cap)
+    tx, ty, tz = table(x_s), table(y_s), table(z_s)
+    table_valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                   < jnp.minimum(counts, cap)[:, None])
 
     patch_live = counts > cfg.num_min_pts      # strict >, patchwork.hpp:386
 
     # --- initial seeds (include/patchwork.hpp:283-318) ----------------------
     zones_np, rings_np, conc_np, elev_np, flat_np = _patch_metadata(cfg)
     zone_of_patch = jnp.asarray(zones_np, jnp.int32)
-    z_tab = table_pts[..., 2]
     margin = (cfg.adaptive_seed_selection_margin * cfg.sensor_height
               if cfg.sensor_height != 0.0 else -0.1)
     is_zone0 = (zone_of_patch == 0)[:, None]
-    lpr_eligible = table_valid & ~(is_zone0 & (z_tab < margin))
+    lpr_eligible = table_valid & ~(is_zone0 & (tz < margin))
     lpr_rank = jnp.cumsum(lpr_eligible.astype(jnp.int32), axis=1)
     lpr_sel = lpr_eligible & (lpr_rank <= cfg.num_lpr)
     lpr_cnt = jnp.sum(lpr_sel, axis=1)
     lpr_h = jnp.where(lpr_cnt > 0,
-                      jnp.sum(jnp.where(lpr_sel, z_tab, 0.0), axis=1)
+                      jnp.sum(jnp.where(lpr_sel, tz, 0.0), axis=1)
                       / jnp.maximum(lpr_cnt, 1), 0.0)
-    ground_tab = table_valid & (z_tab < (lpr_h + cfg.th_seeds)[:, None])
+    ground_tab = table_valid & (tz < (lpr_h + cfg.th_seeds)[:, None])
 
     # --- iterative plane fit (include/patchwork.hpp:545-586) ----------------
     def fit_plane(member):
-        w = member.astype(dtype)[..., None]
+        w = member.astype(dtype)
         cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-        mean = jnp.sum(table_pts * w, axis=1) / cnt
-        centered = (table_pts - mean[:, None, :]) * w
-        # HIGHEST: the TPU bf16 matmul default injects ~0.4% relative error
-        # into the covariance — spurious lambda_min ~4e-3 of trace, which
-        # swamps flatness thresholds of 1e-4 and randomizes the gate.
-        cov = jnp.einsum("pki,pkj->pij", centered, centered,
-                         precision=jax.lax.Precision.HIGHEST) \
-            / cnt[..., None]
-        normal, lam_min = smallest_eigenvector_3x3(cov)
+        mx = jnp.sum(w * tx, axis=1) / cnt
+        my = jnp.sum(w * ty, axis=1) / cnt
+        mz = jnp.sum(w * tz, axis=1) / cnt
+        # centered-first covariance: products of radius-bounded offsets in
+        # full f32 (the former einsum needed HIGHEST for the same reason).
+        cx_, cy_, cz_ = tx - mx[:, None], ty - my[:, None], tz - mz[:, None]
+        cxx = jnp.sum(w * cx_ * cx_, axis=1) / cnt
+        cxy = jnp.sum(w * cx_ * cy_, axis=1) / cnt
+        cxz = jnp.sum(w * cx_ * cz_, axis=1) / cnt
+        cyy = jnp.sum(w * cy_ * cy_, axis=1) / cnt
+        cyz = jnp.sum(w * cy_ * cz_, axis=1) / cnt
+        czz = jnp.sum(w * cz_ * cz_, axis=1) / cnt
+        (n1, n2, n3), lam_min = smallest_eigenpair_sym3(
+            cxx, cxy, cxz, cyy, cyz, czz)
         # deterministic sign: n_z >= 0 so "below plane + th_dist" is ground
-        normal = jnp.where(normal[:, 2:3] < 0, -normal, normal)
-        trace = jnp.trace(cov, axis1=-2, axis2=-1)
-        d = -jnp.sum(normal * mean, axis=-1)
+        flip = n3 < 0
+        n1 = jnp.where(flip, -n1, n1)
+        n2 = jnp.where(flip, -n2, n2)
+        n3 = jnp.where(flip, -n3, n3)
+        trace = cxx + cyy + czz
+        d = -(n1 * mx + n2 * my + n3 * mz)
         th_dist_d = cfg.th_dist - d
         surface_var = lam_min / jnp.maximum(trace, 1e-30)
-        return normal, th_dist_d, mean, surface_var
+        return (n1, n2, n3), th_dist_d, (mx, my, mz), surface_var
 
-    normal = th_dist_d = mean = surface_var = None
+    nrm = th_dist_d = mean = surface_var = None
     for _ in range(cfg.num_iter):
-        normal, th_dist_d, mean, surface_var = fit_plane(ground_tab)
-        # HIGHEST: raw coordinates reach 80 m; the bf16 default would put
-        # ~0.3 m of rounding into a comparison against th_dist = 0.125 m
-        # (and diverge from the elementwise per-point classification below).
-        proj = jnp.einsum("pkc,pc->pk", table_pts, normal,
-                          precision=jax.lax.Precision.HIGHEST)
+        nrm, th_dist_d, mean, surface_var = fit_plane(ground_tab)
+        proj = (nrm[0][:, None] * tx + nrm[1][:, None] * ty
+                + nrm[2][:, None] * tz)
         ground_tab = table_valid & (proj < th_dist_d[:, None])
 
     # --- gate cascade (include/patchwork.hpp:394-451) ------------------------
-    upright = jnp.abs(normal[:, 2]) >= cfg.uprightness_thr
-    elevation = mean[:, 2]
+    upright = jnp.abs(nrm[2]) >= cfg.uprightness_thr
+    elevation = mean[2]
     conc = jnp.asarray(conc_np, jnp.int32)
     elev_thr = jnp.asarray(elev_np, dtype)
     flat_thr = jnp.asarray(flat_np, dtype)
@@ -217,20 +279,43 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     revert_patch = patch_live & upright & near & high & flat_ok
     reject_patch = patch_live & upright & near & high & ~flat_ok
 
-    # --- per-point classification (covers table-overflow points too) --------
-    pid_pt = jnp.minimum(pid_s, p_cnt - 1)
-    live_pt = valid_s & patch_live[pid_pt] & (pid_s < p_cnt)
-    proj_pt = jnp.sum(pts_s * normal[pid_pt], axis=-1)
-    is_ground_pt = proj_pt < th_dist_d[pid_pt]
-    ground_s = live_pt & accepted[pid_pt] & is_ground_pt
-    nonground_s = live_pt & ~ground_s
-    reverted_s = live_pt & revert_patch[pid_pt] & is_ground_pt
-    rejected_s = live_pt & reject_patch[pid_pt] & is_ground_pt
+    # --- per-point classification (all patch points, incl. table overflow) --
+    # Patch attributes reach the points by a P-sized scatter to run starts
+    # + one forward-fill scan (never an N-sized gather).
+    flags_p = (accepted.astype(jnp.int32)
+               + 2 * revert_patch.astype(jnp.int32)
+               + 4 * reject_patch.astype(jnp.int32)
+               + 8 * patch_live.astype(jnp.int32))
+    seed_idx = jnp.where(counts > 0, starts[:p_cnt], n)
 
-    ground = jnp.zeros(n, bool).at[orig_idx].set(ground_s)
-    nonground = jnp.zeros(n, bool).at[orig_idx].set(nonground_s)
+    def seed_f(v):
+        return jnp.zeros((n + 1,), dtype).at[seed_idx].set(v)[:n]
+
+    has = jnp.zeros((n + 1,), bool).at[seed_idx].set(counts > 0)[:n]
+    s_fl = jnp.zeros((n + 1,), jnp.int32).at[seed_idx].set(flags_p)[:n]
+    nx_pt, ny_pt, nz_pt, th_pt, fl_pt = _forward_fill(
+        has, (seed_f(nrm[0]), seed_f(nrm[1]), seed_f(nrm[2]),
+              seed_f(th_dist_d), s_fl))
+
+    live_pt = valid_s & ((fl_pt & 8) > 0)
+    proj_pt = nx_pt * x_s + ny_pt * y_s + nz_pt * z_s
+    is_ground_pt = proj_pt < th_pt
+    ground_s = live_pt & ((fl_pt & 1) > 0) & is_ground_pt
+    nonground_s = live_pt & ~ground_s
+    reverted_s = live_pt & ((fl_pt & 2) > 0) & is_ground_pt
+    rejected_s = live_pt & ((fl_pt & 4) > 0) & is_ground_pt
+
+    # --- back to input order: one sort on the carried original index --------
+    packed = (ground_s.astype(jnp.int32)
+              + 2 * nonground_s.astype(jnp.int32)
+              + 4 * reverted_s.astype(jnp.int32)
+              + 8 * rejected_s.astype(jnp.int32))
+    _, packed_o = jax.lax.sort((orig_s, packed), num_keys=1)
+    ground = (packed_o & 1) > 0
+    nonground = (packed_o & 2) > 0
+    reverted = (packed_o & 4) > 0
+    rejected = (packed_o & 8) > 0
     dropped = mask & ~ground & ~nonground
-    reverted = jnp.zeros(n, bool).at[orig_idx].set(reverted_s)
-    rejected = jnp.zeros(n, bool).at[orig_idx].set(rejected_s)
-    return PatchworkResult(ground, nonground, dropped, normal, accepted,
-                           reverted, rejected)
+    patch_normal = jnp.stack([nrm[0], nrm[1], nrm[2]], axis=-1)
+    return PatchworkResult(ground, nonground, dropped, patch_normal,
+                           accepted, reverted, rejected)

@@ -103,7 +103,19 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
     """Connected components under the angle criterion.
 
     Returns (labels (R, C) int32: min flat index of the component, -1 for
-    invalid pixels; feasible (R*C,) bool gate per label id).
+    invalid pixels; feasible (R*C,) bool gate per label id;
+    pix_feasible (R, C) bool — feasible broadcast to pixels).
+
+    TPU redesign (round 3): the former pointer-jumping step gathered the
+    full (R*C,) label image twice per iteration, and the per-component
+    stats ran 64 scatter passes — together ~90 ms/cloud of pure
+    random-access latency. Replaced by (a) ROLL-DOUBLING directional
+    sweeps: along each neighbor offset d, a segmented min-propagation
+    whose reach doubles per step (best = min(best, roll(best, -s*d)) where
+    the composed connectivity gate G_{2s} = G_s & roll(G_s, -s*d)) — pure
+    lane rotations, log2(path length) steps, no gathers; and (b) ONE sort
+    of the pixels by (label, row) with scan-based run statistics for the
+    size / distinct-line feasibility gate.
     """
     rows, cols = rimg.shape
     npix = rows * cols
@@ -114,18 +126,32 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
 
     flat_iota = jnp.arange(npix, dtype=jnp.int32).reshape(rows, cols)
     labels0 = jnp.where(valid, flat_iota, npix)
+    big = jnp.asarray(npix, jnp.int32)
+
+    def sweep(labels, e, dr, dc, steps):
+        # Rolls across the row boundary wrap, but any wrapped contribution
+        # is masked: a gate G_s that would cross the boundary contains an
+        # edge _neighbor_edges already zeroed there. Column wrap is real
+        # (azimuth is circular).
+        best = jnp.where(e, jnp.minimum(labels,
+                                        jnp.roll(labels, (-dr, -dc),
+                                                 axis=(0, 1))), labels)
+        gate = e
+        s = 1
+        for _ in range(steps - 1):
+            cand = jnp.roll(best, (-dr * s, -dc * s), axis=(0, 1))
+            best = jnp.minimum(best, jnp.where(gate, cand, big))
+            gate = gate & jnp.roll(gate, (-dr * s, -dc * s), axis=(0, 1))
+            s *= 2
+        return best
 
     def propagate(labels):
-        best = labels
+        out = labels
         for e, dr, dc in edges:
-            cand = jnp.roll(labels, (-dr, -dc), axis=(0, 1))
-            best = jnp.minimum(best, jnp.where(e, cand, npix))
-        # pointer jumping: label <- label[label] (x2)
-        flat = best.reshape(-1)
-        padded = jnp.concatenate([flat, jnp.asarray([npix], jnp.int32)])
-        flat = padded[jnp.minimum(flat, npix)]
-        flat = padded[jnp.minimum(flat, npix)]
-        return jnp.where(valid, flat.reshape(rows, cols), npix)
+            reach = rows if dr != 0 else cols
+            steps = (reach - 1).bit_length() + 1   # 2^(steps-1) >= reach
+            out = sweep(out, e, dr, dc, steps)
+        return jnp.where(valid, out, npix)
 
     def cond(state):
         labels, prev_changed, it = state
@@ -139,26 +165,43 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
     labels, _, _ = jax.lax.while_loop(
         cond, body, (labels0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
 
-    flat_labels = jnp.where(valid, labels, npix).reshape(-1)
-    sizes = jax.ops.segment_sum(valid.reshape(-1).astype(jnp.int32),
-                                flat_labels, num_segments=npix + 1)[:npix]
+    # --- per-component stats: one sort by (label, row), then scans ----------
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).reshape(-1)
+    lab_flat = jnp.where(valid, labels, npix).reshape(-1)
+    key = lab_flat * rows + row_of          # label-major, row-minor
+    pix_iota = jnp.arange(npix, dtype=jnp.int32)
+    key_s, pix_s = jax.lax.sort((key, pix_iota), num_keys=1)
+    lab_s = key_s // rows
 
-    # distinct scan rows per component (reference lineCountFlag,
-    # include/imageProjection.hpp:549,565-571)
-    def row_count(r, acc):
-        lr = jnp.where(valid[r], labels[r], npix)
-        present = jnp.zeros((npix + 1,), jnp.int32).at[lr].max(
-            valid[r].astype(jnp.int32))[:npix]
-        return acc + present
+    pos = pix_iota
+    new_lab = jnp.concatenate([jnp.ones(1, bool), lab_s[1:] != lab_s[:-1]])
+    new_pair = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    last_lab = jnp.concatenate([new_lab[1:], jnp.ones(1, bool)])
 
-    rows_per = jax.lax.fori_loop(0, rows, row_count,
-                                 jnp.zeros((npix,), jnp.int32))
+    start = jax.lax.cummax(jnp.where(new_lab, pos, 0))
+    next_start = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(last_lab, pos + 1, npix))))
+    size = next_start - start
+    c = jnp.cumsum(new_pair.astype(jnp.int32))
+    c_at_start = jax.lax.cummax(jnp.where(new_lab, c, 0))
+    c_at_end = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.where(last_lab, c, jnp.iinfo(jnp.int32).max))))
+    lines = c_at_end - c_at_start + 1
 
-    feasible = (sizes >= cfg.min_pts_for_subcluster) | (
-        (sizes >= cfg.segment_valid_point_num)
-        & (rows_per >= cfg.segment_valid_line_num))
+    feas_s = (size >= cfg.min_pts_for_subcluster) | (
+        (size >= cfg.segment_valid_point_num)
+        & (lines >= cfg.segment_valid_line_num))
+    feas_s = feas_s & (lab_s < npix)
+
+    # per-pixel feasibility back to image order (sort by carried index)
+    _, feas_img = jax.lax.sort((pix_s, feas_s.astype(jnp.int32)), num_keys=1)
+    pix_feasible = (feas_img.reshape(rows, cols) > 0) & valid
+    # per-label feasibility (one scatter at component-run starts)
+    scat_idx = jnp.where(new_lab, jnp.minimum(lab_s, npix), npix)
+    feasible = jnp.zeros((npix + 1,), bool).at[scat_idx].set(feas_s)[:npix]
+
     labels_out = jnp.where(valid, labels, -1)
-    return labels_out, feasible
+    return labels_out, feasible, pix_feasible
 
 
 @partial(jax.jit, static_argnames=("lidar", "cfg", "ground_mode"))
@@ -194,26 +237,26 @@ def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
         ground_pix = jnp.zeros_like(occupied)
 
     cluster_valid = occupied & ~ground_pix
-    labels, feasible = label_components(rimg, cluster_valid, lidar, cfg)
-
-    npix = rows_n * cols_n
-    lab_flat = jnp.where(labels >= 0, labels, npix).reshape(-1)
-    feas_pad = jnp.concatenate([feasible, jnp.zeros(1, bool)])
-    pix_feasible = feas_pad[jnp.minimum(lab_flat, npix)].reshape(rows_n, cols_n)
+    labels, _, pix_feasible = label_components(rimg, cluster_valid, lidar,
+                                               cfg)
 
     valid_seg_pix = cluster_valid & pix_feasible
     outlier_pix = cluster_valid & ~pix_feasible
 
     n = points.shape[0]
-
-    def pix_to_points(pixmask):
-        own = jnp.where(pixmask & occupied, owner, n).reshape(-1)
-        return jnp.zeros((n + 1,), bool).at[own].set(True)[:n]
+    # One combined scatter (the three pixel classes are disjoint) instead
+    # of three N-sized ones.
+    code_pix = (valid_seg_pix.astype(jnp.int32)
+                + 2 * outlier_pix.astype(jnp.int32)
+                + 3 * ground_pix.astype(jnp.int32))
+    own = jnp.where((code_pix > 0) & occupied, owner, n).reshape(-1)
+    codes = jnp.zeros((n + 1,), jnp.int32).at[own].set(
+        code_pix.reshape(-1))[:n]
 
     return ProjectionResult(
-        valid_segments=pix_to_points(valid_seg_pix),
-        outliers=pix_to_points(outlier_pix),
-        ground=pix_to_points(ground_pix),
+        valid_segments=codes == 1,
+        outliers=codes == 2,
+        ground=codes == 3,
         range_image=rimg,
         label_image=labels,
         owner=owner,

@@ -1,0 +1,99 @@
+"""Fused Pallas front-end equivalence vs the XLA dense formulation
+(interpret mode on CPU; real TPU lowering exercised by bench runs).
+
+dense_features is itself pinned against the K-capped reference-shaped path
+and hand-computed cases (test_ops.py), so agreement here transitively pins
+the kernels to the PCL semantics of src/teaser_utils/fpfh.cc:44-75.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from quatro_tpu.ops.dense_features import dense_fpfh, dense_normals
+from quatro_tpu.ops.pallas_frontend import frontend_fpfh, frontend_normals
+
+V = 512          # one multiple of both kernel tile sizes (256, 512)
+RADIUS = 1.2
+
+
+def _cloud(rng, v=V):
+    pts = jnp.asarray(rng.uniform(0, 12, (v, 3)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=v) > 0.15)
+    return pts, mask
+
+
+def test_frontend_normals_matches_dense(rng):
+    pts, mask = _cloud(rng)
+    ref = dense_normals(pts, mask, RADIUS, tile=256)
+    pal = frontend_normals(pts, mask, RADIUS, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pal.valid),
+                                  np.asarray(ref.valid))
+    # Accumulation order differs (per-chunk vs whole-row sums): tolerance,
+    # not bit equality. Normals may flip sign only via the viewpoint rule,
+    # which both paths apply identically.
+    np.testing.assert_allclose(np.asarray(pal.normals),
+                               np.asarray(ref.normals), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(pal.curvature),
+                               np.asarray(ref.curvature), atol=1e-3)
+
+
+def test_frontend_fpfh_matches_dense(rng):
+    pts, mask = _cloud(rng)
+    nrm = dense_normals(pts, mask, RADIUS, tile=256)
+    ref = dense_fpfh(pts, nrm.normals, nrm.valid, mask, RADIUS, tile=256)
+    pal = frontend_fpfh(pts, nrm.normals, nrm.valid, mask, RADIUS,
+                        interpret=True)
+    # Descriptor blocks are normalized to sum 100. The kernel bins f1 by
+    # geometric sector tests (Mosaic has no atan lowering) — identical
+    # semantics to the dense path's atan2+floor except that pairs within
+    # f32 rounding of a bin EDGE may land one bin over, moving ~100/cnt of
+    # mass between adjacent bins; bound the mass moved, don't bit-compare.
+    diff = np.abs(np.asarray(pal) - np.asarray(ref))
+    assert diff.mean() < 0.02, f"mean descriptor diff {diff.mean()}"
+    assert diff.max() < 6.0, f"max descriptor diff {diff.max()}"
+
+
+def test_nn_kernel_matches_xla(rng):
+    from quatro_tpu.ops.matching import _nearest_neighbors
+    from quatro_tpu.ops.pallas_frontend import nearest_neighbors_pallas
+    na, nb, d = 512, 300, 33
+    da = jnp.asarray(rng.uniform(0, 100, (na, d)), jnp.float32)
+    db = jnp.asarray(rng.uniform(0, 100, (nb, d)), jnp.float32)
+    ma = jnp.asarray(rng.uniform(size=na) > 0.1)
+    mb = jnp.asarray(rng.uniform(size=nb) > 0.1)
+    ref_i, ref_d = _nearest_neighbors(da, db, ma, mb)
+    pal_i, pal_d = nearest_neighbors_pallas(da, db, ma, mb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pal_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(pal_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_frontend_fpfh_respects_masks(rng):
+    pts, mask = _cloud(rng)
+    nrm = frontend_normals(pts, mask, RADIUS, interpret=True)
+    desc = frontend_fpfh(pts, nrm.normals, nrm.valid, mask, RADIUS,
+                         interpret=True)
+    # Masked-out or invalid-normal rows see no valid pairs: descriptor 0
+    # before block normalization -> each block normalizes a zero vector.
+    dead = ~(np.asarray(mask) & np.asarray(nrm.valid))
+    assert np.all(np.abs(np.asarray(desc)[dead]) < 1e-6)
+
+
+def test_frontend_prefix_mask_skipping(rng):
+    """Packed (prefix) masks trigger the tile-skip path; results must be
+    identical to the dense formulation regardless."""
+    pts = jnp.asarray(rng.uniform(0, 12, (V, 3)), jnp.float32)
+    mask = jnp.arange(V) < 300          # valid prefix only
+    pts = jnp.where(mask[:, None], pts, 0.0)
+    ref_n = dense_normals(pts, mask, RADIUS, tile=256)
+    pal_n = frontend_normals(pts, mask, RADIUS, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pal_n.valid),
+                                  np.asarray(ref_n.valid))
+    np.testing.assert_allclose(np.asarray(pal_n.normals),
+                               np.asarray(ref_n.normals), atol=5e-3)
+    ref = dense_fpfh(pts, ref_n.normals, ref_n.valid, mask, RADIUS,
+                     tile=256)
+    pal = frontend_fpfh(pts, ref_n.normals, ref_n.valid, mask, RADIUS,
+                        interpret=True)
+    diff = np.abs(np.asarray(pal) - np.asarray(ref))
+    assert diff.mean() < 0.02 and diff.max() < 6.0

@@ -119,7 +119,7 @@ def test_label_components_two_blobs():
     img[4:8, 500:510] = 30.0   # blob B
     valid = img < 1e29
     cfg = ProjectionConfig(neighbor_mode="4Neighbor")
-    labels, feasible = label_components(jnp.asarray(img), jnp.asarray(valid),
+    labels, feasible, _ = label_components(jnp.asarray(img), jnp.asarray(valid),
                                         lidar, cfg)
     labels = np.asarray(labels)
     la = labels[4:8, 100:110]
@@ -139,7 +139,7 @@ def test_label_components_small_cluster_rejected():
     img[2:10, 900:920] = 8.0   # 160 px -> feasible
     valid = img < 1e29
     cfg = ProjectionConfig(neighbor_mode="4Neighbor")
-    labels, feasible = label_components(jnp.asarray(img), jnp.asarray(valid),
+    labels, feasible, _ = label_components(jnp.asarray(img), jnp.asarray(valid),
                                         lidar, cfg)
     labels, feas = np.asarray(labels), np.asarray(feasible)
     assert not feas[labels[6, 200]]
@@ -155,7 +155,7 @@ def test_label_components_column_wraparound():
     img[4:8, cols - 20:] = 12.0
     valid = img < 1e29
     cfg = ProjectionConfig(neighbor_mode="4Neighbor")
-    labels, _ = label_components(jnp.asarray(img), jnp.asarray(valid),
+    labels, _, _ = label_components(jnp.asarray(img), jnp.asarray(valid),
                                  lidar, cfg)
     labels = np.asarray(labels)
     assert labels[5, 0] == labels[5, cols - 1]
