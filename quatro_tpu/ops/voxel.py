@@ -17,8 +17,9 @@ exclusively through ONE sorting network and regular scans:
      cumsum / flipped-cummin scans — regular memory access only;
   3. per-voxel centroid sums via global cumsum DIFFERENCES at run
      boundaries. Summing corner-relative fractions (|f| < leaf) keeps the
-     global cumsum magnitude ~1e4 smaller than raw coordinates would be,
-     so the f32 prefix-difference error is ~1e-4 leaf units (pinned in
+     global cumsum magnitude ~1e4 smaller than raw coordinates would be;
+     worst-case f32 prefix-difference error is ~1e-2 leaf units (~3 mm at
+     the 0.3 m default — well under sensor noise; pinned in
      tests/test_ops.py against the float64 oracle);
   4. only V-sized (= capacity, 8192 default) gathers remain: top-k run
      starts and the final centroid/key lookups.

@@ -65,14 +65,24 @@ def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     img = jnp.full((rows_n * cols_n + 1,), big, dtype).at[flat].min(
         jnp.where(ok, rng, big))[:-1]
-    # deterministic owner: among returns within 1e-4 of the pixel minimum,
-    # the lowest point index wins.
+    # deterministic owner via ONE packed-key scatter-min: 14 bits of
+    # quantized range (major) | 17 bits of point index (minor) — the
+    # closest return wins its pixel, ties inside one ~6 mm range bucket
+    # break toward the lowest point index. (The former exact two-stage
+    # min-then-tolerance selection cost an extra N-sized gather, ~1 ms per
+    # cloud; which same-range return owns a pixel is a determinism policy,
+    # not reference semantics — the reference's last-write-wins depends on
+    # scan order, imageProjection.hpp:308-352.)
     n = points.shape[0]
-    pix_min = img.reshape(-1)[jnp.minimum(flat, rows_n * cols_n - 1)]
-    near_min = ok & (rng <= pix_min + 1e-4)
-    owner = jnp.full((rows_n * cols_n + 1,), n, jnp.int32).at[flat].min(
-        jnp.where(near_min, jnp.arange(n, dtype=jnp.int32), n))[:-1]
-    owner = jnp.where(owner == n, -1, owner)
+    assert n <= (1 << 17), "owner packing supports up to 131072 points"
+    rq = jnp.clip(rng * jnp.asarray((1 << 14) / 120.0, dtype), 0,
+                  (1 << 14) - 1).astype(jnp.int32)
+    packed = (rq << 17) + jnp.arange(n, dtype=jnp.int32)
+    sentinel = jnp.iinfo(jnp.int32).max
+    owner_key = jnp.full((rows_n * cols_n + 1,), sentinel, jnp.int32) \
+        .at[flat].min(jnp.where(ok, packed, sentinel))[:-1]
+    owner = jnp.where(owner_key == sentinel, -1,
+                      owner_key & ((1 << 17) - 1))
     return (row, col, rng, ok,
             img.reshape(rows_n, cols_n), owner.reshape(rows_n, cols_n))
 

