@@ -60,7 +60,9 @@ def _nearest_neighbors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     and ran ~1000x slower, measured). Invalid rows get index 0 / +max."""
     from quatro_tpu.ops.pallas_frontend import (nearest_neighbors_pallas,
                                                 use_pallas_frontend_default)
-    if use_pallas_frontend_default() and desc_a.shape[0] % 256 == 0:
+    nb = desc_b.shape[0]
+    if (use_pallas_frontend_default() and desc_a.shape[0] % 256 == 0
+            and (nb <= 2048 or nb % 2048 == 0)):
         return nearest_neighbors_pallas(desc_a, desc_b, mask_a, mask_b)
     from quatro_tpu.ops.neighbors import pairwise_sq_dists
     dtype = desc_a.dtype

@@ -355,39 +355,52 @@ def frontend_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
     return jnp.concatenate(out, axis=-1)
 
 
-def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out, d2_out):
-    """Nearest neighbor of each row descriptor among ALL column descriptors
-    (the full column set rides VMEM-resident; only the (T, V) distance tile
-    is transient). rows_d: (T, D); cols_d: (V, D); masks (T, 1)/(1, V) f32;
-    idx_out/d2_out: (T, 1). lim: (1, 1) SMEM active row-tile count — rows
-    past the last valid query are skipped (outputs there are masked by the
-    caller, so the uninitialized tiles are never observed)."""
+def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out,
+               d2_out):
+    """Running nearest neighbor of each row descriptor over one column
+    CHUNK (grid axis 1); out blocks are revisited across chunks. The full
+    (V, 33) column set in VMEM pads 33 -> 128 lanes and, with the (T, V)
+    distance tile, blew the 16 MB VMEM budget at V=8192 — chunking keeps
+    the footprint ~6 MB. rows_d: (T, D); cols_d: (C, D) chunk; masks
+    (T, 1)/(1, C) f32; idx_out/d2_out: (T, 1). lim: (1, 1) SMEM active
+    row-tile count (skipped tiles' outputs are masked by the caller).
+
+    Tie semantics match XLA argmin (first minimum): chunks are visited in
+    ascending order and only a STRICTLY smaller distance replaces the
+    running minimum; within a chunk the lowest tied column index wins.
+    """
     i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        idx_out[:] = jnp.zeros_like(idx_out)
+        d2_out[:] = jnp.full_like(d2_out, 3.4e38)
 
     @pl.when(i < lim[0, 0])
     def _():
-        _nn_body(rows_d, cols_d, rows_m, cols_m, idx_out, d2_out)
-
-
-def _nn_body(rows_d, cols_d, rows_m, cols_m, idx_out, d2_out):
-    a = rows_d[:]
-    b = cols_d[:]
-    big = jnp.asarray(3.4e38, jnp.float32)
-    # ||a-b||^2 = |a|^2 - 2ab + |b|^2; keep f32 accumulation (descriptor
-    # bins are 0..100, bf16 would blur near-ties the crosscheck relies on).
-    cross = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(jnp.sum(a * a, axis=1, keepdims=True) - 2.0 * cross
-                     + jnp.sum(b * b, axis=1)[None, :], 0.0)
-    ok = (rows_m[:] > 0) & (cols_m[:] > 0)
-    d2 = jnp.where(ok, d2, big)
-    dmin = jnp.min(d2, axis=1, keepdims=True)
-    v = d2.shape[1]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    imin = jnp.min(jnp.where(d2 <= dmin, col_ids, v), axis=1, keepdims=True)
-    idx_out[:] = jnp.minimum(imin, v - 1)
-    d2_out[:] = dmin
+        a = rows_d[:]
+        b = cols_d[:]
+        big = jnp.asarray(3.4e38, jnp.float32)
+        # ||a-b||^2 = |a|^2 - 2ab + |b|^2; f32 accumulation (descriptor
+        # bins are 0..100, bf16 would blur near-ties the crosscheck
+        # relies on).
+        cross = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(jnp.sum(a * a, axis=1, keepdims=True) - 2.0 * cross
+                         + jnp.sum(b * b, axis=1)[None, :], 0.0)
+        ok = (rows_m[:] > 0) & (cols_m[:] > 0)
+        d2 = jnp.where(ok, d2, big)
+        dmin = jnp.min(d2, axis=1, keepdims=True)
+        c = d2.shape[1]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        imin = jnp.min(jnp.where(d2 <= dmin, col_ids, c), axis=1,
+                       keepdims=True)
+        imin = jnp.minimum(imin, c - 1) + j * c
+        better = dmin < d2_out[:]
+        idx_out[:] = jnp.where(better, imin, idx_out[:])
+        d2_out[:] = jnp.where(better, dmin, d2_out[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -405,16 +418,21 @@ def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     na, d = desc_a.shape
     nb = desc_b.shape[0]
     assert na % _T == 0, f"Na={na} must be a multiple of {_T}"
-    grid = (na // _T,)
-    lim_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+    chunk = min(nb, 2048)
+    assert nb % chunk == 0, f"Nb={nb} must be a multiple of {chunk}"
+    grid = (na // _T, nb // chunk)
+    lim_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
-    row_spec = pl.BlockSpec((_T, d), lambda i: (i, 0),
+    row_spec = pl.BlockSpec((_T, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((nb, d), lambda i: (0, 0),
+    col_spec = pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
                             memory_space=pltpu.VMEM)
-    mrow = pl.BlockSpec((_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    mcol = pl.BlockSpec((1, nb), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_i = pl.BlockSpec((_T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mrow = pl.BlockSpec((_T, 1), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    mcol = pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                        memory_space=pltpu.VMEM)
+    out_i = pl.BlockSpec((_T, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
     maskf_a = mask_a.astype(desc_a.dtype)
     idx, d2 = pl.pallas_call(
         _nn_kernel,

@@ -10,6 +10,7 @@ import pytest
 from quatro_tpu.cli import main
 
 
+@pytest.mark.slow
 def test_cli_register_synthetic_with_dumps(tmp_path, capsys):
     rc = main(["register", "--synthetic", "--seed", "11",
                "--max-raw-points", "131072", "--max-voxels", "8192",
@@ -39,6 +40,7 @@ def test_cli_register_synthetic_with_dumps(tmp_path, capsys):
     assert (tmp_path / "ground_source.ply").stat().st_size > 100
 
 
+@pytest.mark.slow
 def test_cli_register_kitti_bins(tmp_path, capsys):
     """Feed .bin files through the native loader path."""
     from quatro_tpu.io.synthetic import make_scan_pair

@@ -101,6 +101,7 @@ def test_full_seed_count_matches_exact(family, args):
             f"{family}{args} graph {k}")
 
 
+@pytest.mark.slow
 def test_few_seed_regret_bounded():
     """The scarce-seed regime (16 seeds, N=48): regret vs exact stays
     small — >=85% exact, never worse than exact-2 (measured 96-97% exact

@@ -1,6 +1,7 @@
 """Evaluation harness smoke tests (small scale, CPU)."""
 
 import numpy as np
+import pytest
 
 from quatro_tpu.config import FPFHConfig, LidarConfig, PipelineConfig
 from quatro_tpu.eval import evaluate_loop_closures, evaluate_scaling
@@ -18,6 +19,7 @@ def test_loop_closure_eval_small():
     assert s["success_rate"] >= 5 / 6, s
 
 
+@pytest.mark.slow
 def test_loop_closure_eval_tilted_with_ground_alignment():
     """Non-level platforms (random per-scan roll/pitch): ground alignment
     must keep the success rate and beat yaw-only on rotation error."""
@@ -112,6 +114,7 @@ def test_dynamic_clutter_moves_only_cars():
     assert (delta[scene.box_kind == 1] > 0).sum() == round(0.5 * n_cars)
 
 
+@pytest.mark.slow
 def test_loop_closure_eval_hard_world():
     """Sloped/curved terrain + 40% dynamic cars: the full pipeline must
     still register (Patchwork's elevation/flatness gates and the outlier

@@ -133,6 +133,7 @@ def test_wall_rejected_by_tilt_gate(rng):
 
 
 @pytest.mark.parametrize("use_ground_z", [True, False])
+@pytest.mark.slow
 def test_tilted_platform_full_6dof(use_ground_z):
     """Scans from a tilted platform: yaw-only fails, ground alignment
     recovers the full rotation (and z when use_ground_z)."""

@@ -163,6 +163,7 @@ def test_icp_vmaps():
 
 
 @pytest.mark.parametrize("yaw_only", [False, True])
+@pytest.mark.slow
 def test_pipeline_icp_improves_accuracy(yaw_only):
     from quatro_tpu.io.synthetic import make_scan_pair
     from quatro_tpu.pipeline import register_scan_pair

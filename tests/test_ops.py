@@ -1,6 +1,7 @@
 """Unit tests for the feature front-end ops."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from quatro_tpu.ops.voxel import voxel_downsample
@@ -261,6 +262,7 @@ def test_blockwise_nn_matches_dense(rng):
     np.testing.assert_allclose(np.asarray(d2), dense.min(1), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dense_features_match_kcapped():
     """dense_normals / dense_fpfh (the pipeline hot path) must agree with
     the K-capped NeighborLists formulation wherever K does not saturate:

@@ -25,6 +25,7 @@ def _nonground(xyz, sensor_height=1.723, margin=0.3):
     return xyz[xyz[:, 2] > -sensor_height + margin]
 
 
+@pytest.mark.slow
 def test_front_end_slice_recovers_transform(scan_pair):
     src_xyz, tgt_xyz, gt = scan_pair
     cfg = PipelineConfig(max_voxels=8192)
@@ -91,6 +92,7 @@ def test_preprocess_subclustering_toggle(scan_pair):
     assert int(jnp.sum(seg_on)) > 0
 
 
+@pytest.mark.slow
 def test_odometry_runner_honors_icp_and_ground_alignment(scan_pair):
     """The same PipelineConfig must mean the same pipeline regardless of
     entry point: OdometryRunner.register_pair must apply ICP refinement and

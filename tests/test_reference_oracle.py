@@ -99,6 +99,7 @@ def test_consistency_graph_matches_oracle():
     assert checked >= 30
 
 
+@pytest.mark.slow
 def test_gnc_rotation_matches_oracle():
     """The f32 GNC-TLS yaw loop must track the f64 literal loop: same
     yaw to fractions of a degree, inlier masks differing only near the
@@ -133,6 +134,7 @@ def test_gnc_rotation_matches_oracle():
 
 
 @pytest.mark.parametrize("use_median", [True, False])
+@pytest.mark.slow
 def test_cote_matches_oracle(use_median):
     """COTE per-axis estimates: f32 prefix-sum sweep vs the f64 literal
     event loop, both modes."""

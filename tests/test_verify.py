@@ -148,6 +148,7 @@ def test_multi_hypothesis_beats_aliased_larger_clique(rng):
                                         best.rotation[0, 0]) - 0.6)) < 0.5
 
 
+@pytest.mark.slow
 def test_hypothesis_zero_matches_single_solve(rng):
     """register_hypotheses[0] must be EXACTLY the configured single-solve
     selection (any inlier_selection_mode, incl. the k-core shortcut), so

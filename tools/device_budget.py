@@ -161,6 +161,17 @@ def main():
                          fpfh=FPFHConfig(max_correspondences=args.corr))
     _log(f"device: {jax.devices()[0]}; fixture pairs: {n_distinct}")
 
+    # Measure the PRODUCTION dispatch: fused Pallas kernels on TPU (same
+    # gate as pipeline.extract_features), XLA dense elsewhere.
+    from quatro_tpu.ops.pallas_frontend import (frontend_fpfh,
+                                                frontend_normals,
+                                                use_pallas_frontend_default)
+    if use_pallas_frontend_default() and args.voxels % 512 == 0:
+        _normals, _fpfh = frontend_normals, frontend_fpfh
+        _log("normals/fpfh stages use the Pallas front-end")
+    else:
+        _normals, _fpfh = dense_normals, dense_fpfh
+
     def tile(key):
         arr = z[key]
         reps = [arr[i % n_distinct] for i in range(args.batch)]
@@ -174,12 +185,11 @@ def main():
                   lambda p, m: voxel_downsample(p, m, cfg.voxel_size,
                                                 cfg.max_voxels)),
         "normals": ((tile("vox_s"), tile("voxm_s")),
-                    lambda p, m: dense_normals(p, m,
-                                               cfg.fpfh.normal_radius)),
+                    lambda p, m: _normals(p, m, cfg.fpfh.normal_radius)),
         "fpfh": ((tile("vox_t"), tile("nrm_t"), tile("nrmv_t"),
                   tile("voxm_t")),
-                 lambda p, n, nv, m: dense_fpfh(p, n, nv, m,
-                                                cfg.fpfh.fpfh_radius)),
+                 lambda p, n, nv, m: _fpfh(p, n, nv, m,
+                                           cfg.fpfh.fpfh_radius)),
         "match": ((tile("vox_s"), tile("vox_t"), tile("desc_s"),
                    tile("desc_t"), tile("dm_s"), tile("dm_t")),
                   lambda sp, tp, sd, td, sm, tm: match_features(

@@ -75,6 +75,27 @@ def main():
     occ_b = jax.device_get(occ_b)
     rimg_b, occ_b = jnp.asarray(rimg_b), jnp.asarray(occ_b)
 
+    def _micro_sort5(p, m):
+        n = p.shape[0]
+        key = jnp.where(m, (p[:, 2] * 1000).astype(jnp.int32), 2**30)
+        return jax.lax.sort((key, p[:, 0], p[:, 1], p[:, 2],
+                             jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+
+    def _micro_scatter3(p, m):
+        n = p.shape[0]
+        slot = jnp.where(m, jnp.arange(n, dtype=jnp.int32) * 4 % (4 * n),
+                         4 * n)
+        def tab(v):
+            return jnp.zeros((4 * n + 1,), p.dtype).at[slot].set(v)[:-1]
+        return tab(p[:, 0]), tab(p[:, 1]), tab(p[:, 2])
+
+    def _micro_ffill6(p, m):
+        from quatro_tpu.preprocessing.patchwork import _forward_fill
+        has = m & (jnp.arange(p.shape[0]) % 17 == 0)
+        ch = (p[:, 0], p[:, 1], p[:, 2], p[:, 0] + 1.0,
+              (p[:, 1] > 0).astype(jnp.int32))
+        return _forward_fill(has, ch)
+
     stages = {
         "patchwork": ((raw, rawm),
                       lambda p, m: estimate_ground(p, m, cfg.patchwork)),
@@ -92,6 +113,12 @@ def main():
         "voxel": ((raw, seg),
                   lambda p, m: voxel_downsample(p, m, cfg.voxel_size,
                                                 cfg.max_voxels)),
+        # micro-benchmarks attributing the rewritten patchwork's cost:
+        # the 5-operand sorting network, the 3 N-sized table scatters,
+        # and the 6-channel forward-fill scan.
+        "micro_sort5": ((raw, rawm), _micro_sort5),
+        "micro_scatter3": ((raw, rawm), _micro_scatter3),
+        "micro_ffill6": ((raw, rawm), _micro_ffill6),
     }
     wanted = list(stages) if args.stages == "all" else args.stages.split(",")
 
