@@ -18,6 +18,12 @@ import jax  # noqa: E402
 # The axon TPU-tunnel plugin (sitecustomize) overrides jax_platforms
 # programmatically, which beats the env var — override it back.
 jax.config.update("jax_platforms", "cpu")
+# Isolated per-session compile cache: quatro_tpu.cli enables the
+# persistent cache globally, and sharing /root/repo/.jax_cache with a
+# concurrently-running TPU bench segfaulted a cache write mid-suite.
+import tempfile  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  tempfile.mkdtemp(prefix="jax_cache_test_"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -19,6 +19,19 @@ import pytest
 
 from tests.frontend_oracle import patchwork_oracle, pcl_fpfh, pcl_normals
 
+
+import pytest as _pytest
+
+
+@_pytest.fixture()
+def rng():
+    # LOCAL fixed seed: the session-scoped conftest rng advances
+    # across tests, so using it makes results depend on suite
+    # composition; these differential tests must be standalone-
+    # deterministic.
+    return np.random.default_rng(778)
+
+
 pytestmark = pytest.mark.slow
 
 

@@ -16,6 +16,19 @@ import pytest
 
 from quatro_tpu.ops.matching import tuple_test_keep
 
+
+import pytest as _pytest
+
+
+@_pytest.fixture()
+def rng():
+    # LOCAL fixed seed: the session-scoped conftest rng advances
+    # across tests, so using it makes results depend on suite
+    # composition; these differential tests must be standalone-
+    # deterministic.
+    return np.random.default_rng(779)
+
+
 pytestmark = pytest.mark.slow
 
 

@@ -12,6 +12,19 @@ import jax.numpy as jnp
 from quatro_tpu.ops.dense_features import dense_fpfh, dense_normals
 from quatro_tpu.ops.pallas_frontend import frontend_fpfh, frontend_normals
 
+
+import pytest as _pytest
+
+
+@_pytest.fixture()
+def rng():
+    # LOCAL fixed seed: the session-scoped conftest rng advances
+    # across tests, so using it makes results depend on suite
+    # composition; these differential tests must be standalone-
+    # deterministic.
+    return np.random.default_rng(777)
+
+
 V = 512          # one multiple of both kernel tile sizes (256, 512)
 RADIUS = 1.2
 
@@ -47,10 +60,13 @@ def test_frontend_fpfh_matches_dense(rng):
     # geometric sector tests (Mosaic has no atan lowering) — identical
     # semantics to the dense path's atan2+floor except that pairs within
     # f32 rounding of a bin EDGE may land one bin over, moving ~100/cnt of
-    # mass between adjacent bins; bound the mass moved, don't bit-compare.
+    # mass between adjacent bins (large for low-pair-count descriptors).
+    # Bound the overall mass moved and the FRACTION of affected points,
+    # not the per-bin max.
     diff = np.abs(np.asarray(pal) - np.asarray(ref))
     assert diff.mean() < 0.02, f"mean descriptor diff {diff.mean()}"
-    assert diff.max() < 6.0, f"max descriptor diff {diff.max()}"
+    affected = (diff.max(axis=1) > 1.0).mean()
+    assert affected < 0.02, f"bin-edge flips touched {affected:.1%} of points"
 
 
 def test_nn_kernel_matches_xla(rng):
@@ -96,4 +112,26 @@ def test_frontend_prefix_mask_skipping(rng):
     pal = frontend_fpfh(pts, ref_n.normals, ref_n.valid, mask, RADIUS,
                         interpret=True)
     diff = np.abs(np.asarray(pal) - np.asarray(ref))
-    assert diff.mean() < 0.02 and diff.max() < 6.0
+    assert diff.mean() < 0.02
+    assert (diff.max(axis=1) > 1.0).mean() < 0.02
+
+
+def test_nn_kernel_multichunk_ties(rng):
+    """Nb > 2048 exercises the running-argmin across column chunks; planted
+    exact duplicates verify first-minimum tie semantics across chunks."""
+    from quatro_tpu.ops.matching import _nearest_neighbors
+    from quatro_tpu.ops.pallas_frontend import nearest_neighbors_pallas
+    na, nb, d = 256, 4096, 33
+    da = jnp.asarray(rng.uniform(0, 100, (na, d)), jnp.float32)
+    db = jnp.asarray(rng.uniform(0, 100, (nb, d)), jnp.float32)
+    # plant: column 3000 duplicates column 100; rows 0..49 equal db[100]
+    db = db.at[3000].set(db[100])
+    da = da.at[:50].set(db[100])
+    ma = jnp.ones(na, bool)
+    mb = jnp.ones(nb, bool)
+    ref_i, ref_d = _nearest_neighbors(da, db, ma, mb)
+    pal_i, pal_d = nearest_neighbors_pallas(da, db, ma, mb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pal_i), np.asarray(ref_i))
+    assert np.all(np.asarray(pal_i)[:50] == 100)   # earlier chunk wins tie
+    np.testing.assert_allclose(np.asarray(pal_d), np.asarray(ref_d),
+                               rtol=1e-5, atol=1e-3)

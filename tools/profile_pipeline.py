@@ -1,8 +1,11 @@
 """Per-stage wall-clock profile of the full pipeline on the current backend.
 
-Times each jitted stage with block_until_ready on realistic KITTI-scale
-inputs, so optimization effort goes where the time is (the reference's
-equivalent is its chrono stage tables, run_global_registration.cpp:248-251).
+WARNING — superseded for OFFICIAL numbers by tools/device_budget.py and
+tools/profile_preprocess.py (dependency-chained dispatch, cost-analysis
+rooflines). Single-call block_until_ready timing over the axon relay
+carries ±40% tunnel jitter and understates sub-ms stages; round 2's
+discredited per-stage table came from this methodology (RESULTS.md). Keep
+for quick interactive smoke checks only.
 
 Usage: python tools/profile_pipeline.py [n_reps]
 """
