@@ -78,6 +78,28 @@ def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
     return PointBatch(vox_pts, vox_mask), desc, desc_mask, normals
 
 
+def _extract_features_pair(src: PointBatch, tgt: PointBatch,
+                           config: PipelineConfig):
+    """Run extract_features on BOTH clouds as one stacked 2x-batch.
+
+    The two per-cloud chains are data-independent; stacking them halves
+    the number of sequential ops in the compiled program (under an outer
+    vmap(B) the front-end becomes one B*2 chain instead of two B chains).
+    The front-end is latency-bound, not bandwidth-bound (RESULTS.md), so
+    op count is the cost that matters. Falls back to sequential calls
+    when the clouds have different static capacities.
+    """
+    if src.points.shape != tgt.points.shape:
+        s = extract_features(src.points, src.mask, config)
+        t = extract_features(tgt.points, tgt.mask, config)
+        return s, t
+    pts = jnp.stack([src.points, tgt.points])
+    msk = jnp.stack([src.mask, tgt.mask])
+    out2 = jax.vmap(lambda p, m: extract_features(p, m, config))(pts, msk)
+    pick = lambda i: jax.tree_util.tree_map(lambda x: x[i], out2)
+    return pick(0), pick(1)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def register_features(src: PointBatch, tgt: PointBatch,
                       config: PipelineConfig = PipelineConfig()
@@ -86,10 +108,9 @@ def register_features(src: PointBatch, tgt: PointBatch,
     already-preprocessed clouds (the minimum end-to-end path). With
     config.icp.enabled, the coarse pose is polished by point-to-plane ICP
     on the voxel clouds (solver/icp.py) without leaving the jit."""
-    src_vox, src_desc, src_dmask, _ = extract_features(src.points, src.mask,
-                                                       config)
-    tgt_vox, tgt_desc, tgt_dmask, tgt_normals = extract_features(
-        tgt.points, tgt.mask, config)
+    ((src_vox, src_desc, src_dmask, _),
+     (tgt_vox, tgt_desc, tgt_dmask, tgt_normals)) = _extract_features_pair(
+        src, tgt, config)
 
     corr = match_features(
         src_vox.points, tgt_vox.points, src_desc, tgt_desc,
@@ -194,8 +215,17 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
     """
     import dataclasses
 
-    src_seg, src_ground = preprocess(src.points, src.mask, config)
-    tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
+    if src.points.shape == tgt.points.shape:
+        # One stacked 2x-batch through the (latency-bound) preprocessing
+        # chain — see _extract_features_pair for the rationale.
+        pts = jnp.stack([src.points, tgt.points])
+        msk = jnp.stack([src.mask, tgt.mask])
+        seg2, grd2 = jax.vmap(lambda p, m: preprocess(p, m, config))(pts, msk)
+        src_seg, tgt_seg = seg2[0], seg2[1]
+        src_ground, tgt_ground = grd2[0], grd2[1]
+    else:
+        src_seg, src_ground = preprocess(src.points, src.mask, config)
+        tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
 
     # Coarse solve happens on the (possibly leveled) segmented clouds; the
     # ICP polish, when enabled, runs afterwards on the RAW clouds — the

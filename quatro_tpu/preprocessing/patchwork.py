@@ -6,36 +6,35 @@ plus an uprightness/elevation/flatness gate cascade
 (reference: include/patchwork.hpp:329-476, plane fit :264-279, seeds
 :283-318, CZM binning :512-540, gates :394-451).
 
-TPU-native design (round 3, movement-minimized): on TPU each random-access
-gather/scatter element costs a tile-sized DMA and arrays with a minor
-dimension of 3 pad 42x to the 128-lane tile, so the original
-argsort/gather/einsum formulation spent 33 ms and 43 GB per cloud. This
-version moves points through ONE sorting network and keeps everything else
-as regular scans and structure-of-arrays tables:
+TPU-native design (round 3, movement-minimized, v3 table-free): on TPU each
+random-access gather/scatter ELEMENT costs a tile-sized DMA (~8 ns — one
+131k scatter is ~1 ms and does not amortize with batch), so v3 eliminates
+every N-sized scatter/gather. All data movement is ONE sorting network plus
+regular scans:
 
   1. one ``lax.sort`` on a composite (patch_id << 21 | quantized_z) key
-     carries x/y/z/original-index payloads — grouping points by patch in
-     within-patch z order (the reference's z-sort + stable patch sort) with
-     no index gathers;
-  2. patch boundaries via ``searchsorted`` (P+1 binary searches), in-patch
-     ranks via a cummax scan — no N-sized table lookups;
-  3. a (P, cap) structure-of-arrays patch table (separate x/y/z planes —
-     never (P, cap, 3)) built with three scatters, on which seeds, the
-     3-iteration plane fit (six covariance components, closed-form 3x3
-     eigensolve) and the gate cascade run as dense masked reductions;
+     carries x/y/original-index payloads — grouping points by patch in
+     within-patch z order; z itself is reconstructed from the key
+     (~15 um quantization, far below sensor noise);
+  2. patch boundaries via ``searchsorted`` (P+1 binary searches);
+  3. per-patch seed ranks and the ten plane-fit moment sums via SEGMENTED
+     associative scans over the patch-sorted arrays (reset at patch
+     boundaries, so f32 prefix error never crosses a patch); moments use
+     PATCH-RELATIVE coordinates (offsets from each patch's static CZM
+     center, computed elementwise from the patch id — no table lookups)
+     to keep the covariance numerically centered;
   4. per-point patch attributes (plane normal, threshold, gate flags)
      delivered by a P-sized scatter to run starts + one forward-fill
-     associative scan — replacing ~6 N-sized gathers;
+     associative scan per fit iteration;
   5. results returned to input order by one final sort on the carried
      original index.
 
 Points the reference silently drops (out-of-range radius, patches with too
 few points, sub-mirror reflections) are reported in the `dropped` mask.
-Differences vs round 2 (both closer to the reference): ALL patch points
-now participate in the plane fit (the cap applies only to the table; the
-reference has no cap), and within-patch z ties are broken arbitrarily
-(z is quantized to ~40 um for the composite key; the reference's sort is
-unstable too).
+Like the reference (and unlike round 2), ALL patch points participate in
+the plane fit — there is no per-patch capacity anywhere anymore; within-
+patch z ties are broken arbitrarily (z is quantized for the composite key;
+the reference's sort is unstable too).
 """
 
 from __future__ import annotations
@@ -90,6 +89,25 @@ def _patch_metadata(cfg: PatchworkConfig):
     return zones, rings, conc, elev_thr, flat_thr
 
 
+def _patch_centers(cfg: PatchworkConfig):
+    """Static (P,) xy CZM patch-center tables (numpy, used both for the
+    per-patch mean reconstruction and mirrored elementwise per point)."""
+    bounds = list(cfg.ring_boundaries)
+    cx, cy = [], []
+    for k in range(cfg.num_zones):
+        nrings = cfg.num_rings_each_zone[k]
+        nsect = cfg.num_sectors_each_zone[k]
+        ring_sz = (bounds[k + 1] - bounds[k]) / nrings
+        sect_sz = 2 * np.pi / nsect
+        for ring in range(nrings):
+            r_c = bounds[k] + (ring + 0.5) * ring_sz
+            for sector in range(nsect):
+                th_c = (sector + 0.5) * sect_sz
+                cx.append(r_c * np.cos(th_c))
+                cy.append(r_c * np.sin(th_c))
+    return np.asarray(cx, np.float32), np.asarray(cy, np.float32)
+
+
 def _zone_select(zone: jnp.ndarray, table, dtype) -> jnp.ndarray:
     """Per-point zone-table lookup as a branchless where-chain (a gather of
     N indices into even a 4-entry table costs ~1 ms on TPU)."""
@@ -140,6 +158,50 @@ def czm_bin(points: jnp.ndarray, mask: jnp.ndarray, cfg: PatchworkConfig):
     return jnp.where(in_czm, patch, num_patches).astype(jnp.int32), in_czm
 
 
+def _patch_center_of_point(pid: jnp.ndarray, cfg: PatchworkConfig, dtype):
+    """Per-point CZM patch-center xy, computed ELEMENTWISE from the patch
+    id (zone via offset comparisons, ring/sector via div/mod) — the
+    gather-free mirror of the static _patch_centers table."""
+    nrings_l = list(cfg.num_rings_each_zone)
+    nsect_l = list(cfg.num_sectors_each_zone)
+    bounds = list(cfg.ring_boundaries)
+    ring_sizes_l = [(bounds[k + 1] - bounds[k]) / nrings_l[k]
+                    for k in range(cfg.num_zones)]
+    sector_sizes_l = [2 * np.pi / s for s in nsect_l]
+    offsets_l = [0] + list(np.cumsum(np.multiply(nrings_l, nsect_l)))[:-1]
+
+    zone = jnp.zeros(pid.shape, jnp.int32)
+    for off in offsets_l[1:]:
+        zone = zone + (pid >= off).astype(jnp.int32)
+    offs = _zone_select(zone, offsets_l, jnp.int32)
+    nsect = _zone_select(zone, nsect_l, jnp.int32)
+    ring_sz = _zone_select(zone, ring_sizes_l, dtype)
+    sect_sz = _zone_select(zone, sector_sizes_l, dtype)
+    min_rng = _zone_select(zone, [float(b) for b in bounds[:-1]], dtype)
+
+    local = pid - offs
+    ring = local // jnp.maximum(nsect, 1)
+    sector = local - ring * nsect
+    r_c = min_rng + (ring.astype(dtype) + 0.5) * ring_sz
+    th_c = (sector.astype(dtype) + 0.5) * sect_sz
+    return r_c * jnp.cos(th_c), r_c * jnp.sin(th_c)
+
+
+def _segmented_sum_scan(is_start: jnp.ndarray, values):
+    """Inclusive SEGMENTED sum scan: running sum that resets at positions
+    where ``is_start`` is True. values: tuple of (N,) or (k, N) arrays
+    (scanned along the last axis). Returns same-structure running sums;
+    the value at the last element of each run is the run total."""
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        gate = jnp.where(bf, 0.0, 1.0)   # broadcast over leading channel dim
+        return (af | bf, tuple(bc + gate * ac for ac, bc in zip(av, bv)))
+    _, sums = jax.lax.associative_scan(op, (is_start, tuple(values)),
+                                      axis=-1)
+    return sums
+
+
 def _forward_fill(has: jnp.ndarray, channels: tuple):
     """Propagate the value at each flagged position to every later position
     (until the next flag) via one associative scan — the gather-free way to
@@ -162,7 +224,6 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     n = points.shape[0]
     dtype = points.dtype
     p_cnt = cfg.num_patches
-    cap = cfg.max_pts_per_patch
 
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     # mirror-reflection removal (include/patchwork.hpp:355-365)
@@ -173,69 +234,95 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     # --- one composite sort: patch-major, z-minor ---------------------------
     zmin = jnp.min(jnp.where(keep, z, jnp.inf))
     zspan = jnp.maximum(jnp.max(jnp.where(keep, z, -jnp.inf)) - zmin, 1e-6)
-    zq = jnp.clip((z - zmin) / zspan * ((1 << _ZBITS) - 1),
-                  0, (1 << _ZBITS) - 1).astype(jnp.int32)
+    zscale = ((1 << _ZBITS) - 1) / zspan
+    zq = jnp.clip((z - zmin) * zscale, 0, (1 << _ZBITS) - 1).astype(jnp.int32)
     zq = jnp.where(jnp.isfinite(z) & keep, zq, 0)
     pid_k = jnp.where(in_czm, patch_id, p_cnt)
     key = (pid_k << _ZBITS) + zq
 
     iota = jnp.arange(n, dtype=jnp.int32)
-    key_s, x_s, y_s, z_s, orig_s = jax.lax.sort((key, x, y, z, iota),
-                                                num_keys=1)
+    key_s, x_s, y_s, orig_s = jax.lax.sort((key, x, y, iota), num_keys=1)
     pid_s = key_s >> _ZBITS
     valid_s = pid_s < p_cnt
+    # z reconstructed from the key: ~zspan/2^21 (~15 um) quantization.
+    z_s = zmin + (key_s & ((1 << _ZBITS) - 1)).astype(dtype) / zscale
 
     pos = jnp.arange(n, dtype=jnp.int32)
     is_new = jnp.concatenate([jnp.ones(1, bool), pid_s[1:] != pid_s[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_new, pos, 0))
-    rank = pos - run_start
 
     starts = jnp.searchsorted(pid_s, jnp.arange(p_cnt + 1, dtype=jnp.int32)
                               ).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]          # per-patch totals (uncapped)
+    counts = starts[1:] - starts[:-1]          # per-patch totals
+    nonempty = counts > 0
+    ends_i = jnp.clip(starts[1:] - 1, 0, n - 1)   # last element of each run
 
-    # --- (P, cap) structure-of-arrays table (z-ordered rows) ----------------
-    slot = jnp.where(valid_s & (rank < cap), pid_s * cap + rank, p_cnt * cap)
-    def table(v):
-        return jnp.zeros((p_cnt * cap + 1,), dtype).at[slot].set(v)[:-1] \
-            .reshape(p_cnt, cap)
-    tx, ty, tz = table(x_s), table(y_s), table(z_s)
-    table_valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
-                   < jnp.minimum(counts, cap)[:, None])
+    def seg_at_ends(running):
+        """Per-patch run total from an inclusive segmented running sum."""
+        return jnp.where(nonempty, running[..., ends_i], 0.0)
 
     patch_live = counts > cfg.num_min_pts      # strict >, patchwork.hpp:386
 
+    # --- patch-relative coordinates (elementwise; no table lookups) ---------
+    pcx, pcy = _patch_center_of_point(jnp.minimum(pid_s, p_cnt - 1), cfg,
+                                      dtype)
+    px = jnp.where(valid_s, x_s - pcx, 0.0)
+    py = jnp.where(valid_s, y_s - pcy, 0.0)
+    pz = jnp.where(valid_s, z_s, 0.0)
+    center_x_np, center_y_np = _patch_centers(cfg)
+    center_x = jnp.asarray(center_x_np, dtype)
+    center_y = jnp.asarray(center_y_np, dtype)
+
     # --- initial seeds (include/patchwork.hpp:283-318) ----------------------
     zones_np, rings_np, conc_np, elev_np, flat_np = _patch_metadata(cfg)
-    zone_of_patch = jnp.asarray(zones_np, jnp.int32)
     margin = (cfg.adaptive_seed_selection_margin * cfg.sensor_height
               if cfg.sensor_height != 0.0 else -0.1)
-    is_zone0 = (zone_of_patch == 0)[:, None]
-    lpr_eligible = table_valid & ~(is_zone0 & (tz < margin))
-    lpr_rank = jnp.cumsum(lpr_eligible.astype(jnp.int32), axis=1)
-    lpr_sel = lpr_eligible & (lpr_rank <= cfg.num_lpr)
-    lpr_cnt = jnp.sum(lpr_sel, axis=1)
+    zone0_end = int(cfg.num_rings_each_zone[0]
+                    * cfg.num_sectors_each_zone[0])
+    is_zone0_pt = pid_s < zone0_end
+    lpr_eligible = valid_s & ~(is_zone0_pt & (z_s < margin))
+    (rank_run,) = _segmented_sum_scan(is_new,
+                                      (lpr_eligible.astype(dtype),))
+    # exclusive in-patch rank among eligible points (z-ordered)
+    lpr_rank = rank_run - lpr_eligible.astype(dtype)
+    lpr_sel = lpr_eligible & (lpr_rank < cfg.num_lpr)
+    self_f = lpr_sel.astype(dtype)
+    sel_run, selz_run = _segmented_sum_scan(is_new,
+                                            (self_f, self_f * z_s))
+    lpr_cnt = seg_at_ends(sel_run)
     lpr_h = jnp.where(lpr_cnt > 0,
-                      jnp.sum(jnp.where(lpr_sel, tz, 0.0), axis=1)
-                      / jnp.maximum(lpr_cnt, 1), 0.0)
-    ground_tab = table_valid & (tz < (lpr_h + cfg.th_seeds)[:, None])
+                      seg_at_ends(selz_run) / jnp.maximum(lpr_cnt, 1.0),
+                      0.0)
 
-    # --- iterative plane fit (include/patchwork.hpp:545-586) ----------------
-    def fit_plane(member):
+    # deliver per-patch seed threshold to points: P-sized scatter + ffill
+    seed_idx = jnp.where(nonempty, starts[:p_cnt], n)
+    has = jnp.zeros((n + 1,), bool).at[seed_idx].set(nonempty)[:n]
+
+    def seed_f(v):
+        return jnp.zeros((n + 1,), dtype).at[seed_idx].set(v)[:n]
+
+    (thr_pt,) = _forward_fill(has, (seed_f(lpr_h + cfg.th_seeds),))
+    member = valid_s & (z_s < thr_pt)
+
+    # --- iterative plane fit via segmented moment scans ---------------------
+    # (include/patchwork.hpp:545-586; covariance on PATCH-RELATIVE offsets
+    # so the raw-moment form stays numerically centered)
+    nrm = th_dist_d = elevation = surface_var = None
+    nx_pt = ny_pt = nz_pt = th_pt = None
+    for _ in range(cfg.num_iter):
         w = member.astype(dtype)
-        cnt = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-        mx = jnp.sum(w * tx, axis=1) / cnt
-        my = jnp.sum(w * ty, axis=1) / cnt
-        mz = jnp.sum(w * tz, axis=1) / cnt
-        # centered-first covariance: products of radius-bounded offsets in
-        # full f32 (the former einsum needed HIGHEST for the same reason).
-        cx_, cy_, cz_ = tx - mx[:, None], ty - my[:, None], tz - mz[:, None]
-        cxx = jnp.sum(w * cx_ * cx_, axis=1) / cnt
-        cxy = jnp.sum(w * cx_ * cy_, axis=1) / cnt
-        cxz = jnp.sum(w * cx_ * cz_, axis=1) / cnt
-        cyy = jnp.sum(w * cy_ * cy_, axis=1) / cnt
-        cyz = jnp.sum(w * cy_ * cz_, axis=1) / cnt
-        czz = jnp.sum(w * cz_ * cz_, axis=1) / cnt
+        mom = (w, w * px, w * py, w * pz,
+               w * px * px, w * px * py, w * px * pz,
+               w * py * py, w * py * pz, w * pz * pz)
+        mom_run = _segmented_sum_scan(is_new, mom)
+        S = jnp.stack([seg_at_ends(ch) for ch in mom_run])   # (10, P)
+        cnt = jnp.maximum(S[0], 1.0)
+        mx_r, my_r, mz_r = S[1] / cnt, S[2] / cnt, S[3] / cnt
+        cxx = S[4] / cnt - mx_r * mx_r
+        cxy = S[5] / cnt - mx_r * my_r
+        cxz = S[6] / cnt - mx_r * mz_r
+        cyy = S[7] / cnt - my_r * my_r
+        cyz = S[8] / cnt - my_r * mz_r
+        czz = S[9] / cnt - mz_r * mz_r
         (n1, n2, n3), lam_min = smallest_eigenpair_sym3(
             cxx, cxy, cxz, cyy, cyz, czz)
         # deterministic sign: n_z >= 0 so "below plane + th_dist" is ground
@@ -244,21 +331,21 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
         n2 = jnp.where(flip, -n2, n2)
         n3 = jnp.where(flip, -n3, n3)
         trace = cxx + cyy + czz
-        d = -(n1 * mx + n2 * my + n3 * mz)
+        mx_w = mx_r + center_x                 # world-frame patch mean
+        my_w = my_r + center_y
+        d = -(n1 * mx_w + n2 * my_w + n3 * mz_r)
         th_dist_d = cfg.th_dist - d
         surface_var = lam_min / jnp.maximum(trace, 1e-30)
-        return (n1, n2, n3), th_dist_d, (mx, my, mz), surface_var
+        elevation = mz_r
+        nrm = (n1, n2, n3)
 
-    nrm = th_dist_d = mean = surface_var = None
-    for _ in range(cfg.num_iter):
-        nrm, th_dist_d, mean, surface_var = fit_plane(ground_tab)
-        proj = (nrm[0][:, None] * tx + nrm[1][:, None] * ty
-                + nrm[2][:, None] * tz)
-        ground_tab = table_valid & (proj < th_dist_d[:, None])
+        nx_pt, ny_pt, nz_pt, th_pt = _forward_fill(
+            has, (seed_f(n1), seed_f(n2), seed_f(n3), seed_f(th_dist_d)))
+        proj_pt = nx_pt * x_s + ny_pt * y_s + nz_pt * z_s
+        member = valid_s & (proj_pt < th_pt)
 
     # --- gate cascade (include/patchwork.hpp:394-451) ------------------------
     upright = jnp.abs(nrm[2]) >= cfg.uprightness_thr
-    elevation = mean[2]
     conc = jnp.asarray(conc_np, jnp.int32)
     elev_thr = jnp.asarray(elev_np, dtype)
     flat_thr = jnp.asarray(flat_np, dtype)
@@ -279,23 +366,15 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     revert_patch = patch_live & upright & near & high & flat_ok
     reject_patch = patch_live & upright & near & high & ~flat_ok
 
-    # --- per-point classification (all patch points, incl. table overflow) --
-    # Patch attributes reach the points by a P-sized scatter to run starts
-    # + one forward-fill scan (never an N-sized gather).
+    # --- per-point classification -------------------------------------------
+    # The final fit iteration already delivered (n, th) per point; only the
+    # per-patch gate flags still need the scatter + forward-fill hop.
     flags_p = (accepted.astype(jnp.int32)
                + 2 * revert_patch.astype(jnp.int32)
                + 4 * reject_patch.astype(jnp.int32)
                + 8 * patch_live.astype(jnp.int32))
-    seed_idx = jnp.where(counts > 0, starts[:p_cnt], n)
-
-    def seed_f(v):
-        return jnp.zeros((n + 1,), dtype).at[seed_idx].set(v)[:n]
-
-    has = jnp.zeros((n + 1,), bool).at[seed_idx].set(counts > 0)[:n]
     s_fl = jnp.zeros((n + 1,), jnp.int32).at[seed_idx].set(flags_p)[:n]
-    nx_pt, ny_pt, nz_pt, th_pt, fl_pt = _forward_fill(
-        has, (seed_f(nrm[0]), seed_f(nrm[1]), seed_f(nrm[2]),
-              seed_f(th_dist_d), s_fl))
+    (fl_pt,) = _forward_fill(has, (s_fl,))
 
     live_pt = valid_s & ((fl_pt & 8) > 0)
     proj_pt = nx_pt * x_s + ny_pt * y_s + nz_pt * z_s
