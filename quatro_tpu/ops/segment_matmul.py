@@ -1,0 +1,126 @@
+"""Segment-sum and table-lookup over a small group axis as Pallas kernels.
+
+The round-3 patchwork redesign routes per-patch segment sums and
+per-patch -> per-point attribute delivery through one-hot matmuls over the
+~600-patch axis (measured ~5x cheaper than scatters / forward-fill scans,
+tools/microbench_ops.py). A MATERIALIZED one-hot is (N, P_pad) bfloat16 =
+168 MB per 131k-point cloud — x64 batch x2 clouds = ~21 GB of HBM, which
+cannot exist. These kernels generate each one-hot TILE inside VMEM from an
+iota comparison, so HBM sees only the ids, the value channels, and the
+outputs.
+
+LAYOUT RULE (the first version OOM'd the compiler at batch 64 purely on
+tile padding): every N-sized operand keeps N in the LANE (minor) dimension
+— ids are (1, N), value channels are (K, N), the VMEM one-hot tile is
+(P_pad, T). A (N, 1) ids column pads 128x in HBM (8.6 GB at production
+batch); (1, N) pads only 8x in sublanes.
+
+  segment_sums(ids, vals):  out[p, k] = sum_{i: ids[i]==p} vals[k, i]
+      == one_hot.T-contraction on the MXU (grid over N-tiles, accumulated)
+  table_lookup(ids, tab):   out[k, i] = tab[ids[i], k]
+      (zeros for out-of-range ids)
+
+Both are jit/vmap-compatible (pallas_call adds a batch grid axis under
+vmap). The XLA fallback (materialized one-hot einsum) is used off-TPU;
+numerics are identical up to f32 matmul accumulation order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_T = 2048          # N-tile length
+
+
+def _oh_tile(ids_ref, p_pad):
+    """(P, T) one-hot tile from a (1, T) ids block, built in VMEM."""
+    return (ids_ref[:] == jax.lax.broadcasted_iota(
+        jnp.int32, (p_pad, 1), 0)).astype(jnp.float32)
+
+
+def _seg_kernel(p_pad: int, ids, vals, out):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    oh = _oh_tile(ids, p_pad)                     # (P, T)
+    # (P, T) x (K, T) contracting T -> (P, K)
+    out[:] = out[:] + jax.lax.dot_general(
+        oh, vals[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _lookup_kernel(p_pad: int, ids, tab, out):
+    oh = _oh_tile(ids, p_pad)                     # (P, T)
+    # (P, K) x (P, T) contracting P -> (K, T)
+    out[:] = jax.lax.dot_general(
+        tab[:], oh, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad", "interpret"))
+def segment_sums(ids: jnp.ndarray, vals: jnp.ndarray, p_pad: int,
+                 interpret: bool = False) -> jnp.ndarray:
+    """out[p, k] = sum over i with ids[i] == p of vals[k, i].
+
+    ids: (N,) int32 in [0, p_pad) (out-of-range ids are dropped);
+    vals: (K, N) f32, K-major. Returns (p_pad, K) f32. N % 2048 == 0 on
+    the TPU path (the pipeline's capacities are powers of two).
+    """
+    k, n = vals.shape
+    if not (jax.default_backend() == "tpu" or interpret) or n % _T != 0:
+        oh = (ids[:, None] == jnp.arange(p_pad)[None, :]
+              ).astype(jnp.bfloat16)
+        return jnp.einsum("np,kn->pk", oh, vals,
+                          precision=jax.lax.Precision.HIGHEST)
+    grid = (n // _T,)
+    return pl.pallas_call(
+        functools.partial(_seg_kernel, p_pad),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, _T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((p_pad, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, k), jnp.float32),
+        interpret=interpret,
+    )(ids[None, :], vals)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def table_lookup(ids: jnp.ndarray, tab: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
+    """out[k, i] = tab[ids[i], k] (zeros for out-of-range ids).
+
+    ids: (N,) int32; tab: (p_pad, K) f32. Returns (K, N) f32, K-major.
+    """
+    n = ids.shape[0]
+    p_pad, k = tab.shape
+    if not (jax.default_backend() == "tpu" or interpret) or n % _T != 0:
+        oh = (ids[:, None] == jnp.arange(p_pad)[None, :]
+              ).astype(jnp.bfloat16)
+        return jnp.einsum("np,pk->kn", oh, tab,
+                          precision=jax.lax.Precision.HIGHEST)
+    grid = (n // _T,)
+    return pl.pallas_call(
+        functools.partial(_lookup_kernel, p_pad),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p_pad, k), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, _T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.float32),
+        interpret=interpret,
+    )(ids[None, :], tab)

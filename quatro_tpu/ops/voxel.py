@@ -4,25 +4,23 @@ The reference wraps ``pcl::VoxelGrid`` (reference: include/quatro.hpp:49-68,
 invoked at examples/run_global_registration.cpp:206-207), which computes the
 centroid of the points in each occupied leaf.
 
-TPU-native design (round 3, scatter-free): on TPU every random-access
-gather/scatter element costs a tile-sized DMA (~8 ns measured), so the
-former argsort -> gather -> segment_sum -> scatter chain spent ~19 ms per
-131k-point cloud almost entirely in data movement. This version moves data
-exclusively through ONE sorting network and regular scans:
+TPU-native design (round 3 v2, movement-minimized): every N-sized irregular
+op (sort operand, scatter, top_k) costs milliseconds per cloud at batch 64
+(tools/microbench_ops.py), so the whole stage is TWO lean sorts and scans:
 
-  1. one ``lax.sort`` over a single 30-bit voxel key carries the payloads
-     (voxel-corner-relative fractional coordinates + validity) through the
-     sort network — no index materialization, no gathers;
+  1. one 3-operand ``lax.sort`` over a 30-bit voxel key carrying the
+     corner-relative fractional coordinates PACKED as 16-bit fixed point
+     (two int32 payloads instead of four f32 ones; 7.6e-6-leaf
+     quantization, orders below the documented ~1e-2-leaf f32 budget);
   2. run-length bookkeeping (per-voxel counts, run starts) via compare /
      cumsum / flipped-cummin scans — regular memory access only;
   3. per-voxel centroid sums via global cumsum DIFFERENCES at run
-     boundaries. Summing corner-relative fractions (|f| < leaf) keeps the
-     global cumsum magnitude ~1e4 smaller than raw coordinates would be;
-     worst-case f32 prefix-difference error is ~1e-2 leaf units (~3 mm at
-     the 0.3 m default — well under sensor noise; pinned in
-     tests/test_ops.py against the float64 oracle);
-  4. only V-sized (= capacity, 8192 default) gathers remain: top-k run
-     starts and the final centroid/key lookups.
+     boundaries (fractions are bounded by the leaf, keeping the prefix
+     magnitudes small; pinned in tests/test_ops.py vs a float64 oracle);
+  4. occupancy ranking via ONE single-operand sort of a packed
+     (clamped-count-descending << 17 | position) key — replacing
+     ``lax.top_k`` (measured ~2x the cost of a 1-op sort);
+  5. only V-sized (= capacity, 8192 default) gathers remain.
 
 Static output capacity + mask replaces the dynamically sized filtered
 cloud.
@@ -40,6 +38,10 @@ import jax.numpy as jnp
 # outside are dropped (pathological clouds only).
 _BITS = 10
 _GRID = 1 << _BITS
+_FBITS = 16                      # fraction fixed-point bits
+_FSCALE = float(1 << _FBITS)
+_CBITS = 14                      # clamped occupancy bits in the rank key
+_PBITS = 17                      # position bits in the rank key
 
 
 @partial(jax.jit, static_argnames=("capacity",))
@@ -51,13 +53,14 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     out_mask (capacity,)).
 
     Overflow policy: when more than `capacity` voxels are occupied, the
-    voxels with the MOST points win. Point count is a property of the world
-    geometry (surface area / range), so both scans of a pair keep largely
-    the SAME structure — truncating in voxel-key order instead would keep a
-    per-scan axis-aligned slab (keys are relative to each scan's own min
-    corner), which destroys cross-scan overlap exactly when capacity binds.
+    voxels with the MOST points win (ties toward lower position = lower
+    voxel key). Point count is a property of the world geometry, so both
+    scans of a pair keep largely the SAME structure — truncating in
+    voxel-key order instead would keep a per-scan axis-aligned slab,
+    which destroys cross-scan overlap exactly when capacity binds.
     """
     n = points.shape[0]
+    assert n <= (1 << _PBITS), "rank-key packing supports up to 131072 pts"
     dtype = points.dtype
     inv = jnp.asarray(1.0 / voxel_size, dtype)
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
@@ -74,35 +77,52 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     cz = jnp.where(in_grid, cz, 0.0)
     key = (cx.astype(jnp.int32) << (2 * _BITS)) \
         + (cy.astype(jnp.int32) << _BITS) + cz.astype(jnp.int32)
-    key = jnp.where(in_grid, key, jnp.iinfo(jnp.int32).max)  # invalid last
+    sentinel = jnp.iinfo(jnp.int32).max
+    key = jnp.where(in_grid, key, sentinel)  # invalid last
 
-    # Corner-relative fractions in leaf units: bounded [0, 1), so the
-    # global prefix sums below stay small enough for f32 differences.
+    # Corner-relative fractions in leaf units, 16-bit fixed point, packed
+    # into two int32 payloads (fx|fy and fz).
     fx = jnp.where(in_grid, (x - minb[0]) * inv - cx, 0.0)
     fy = jnp.where(in_grid, (y - minb[1]) * inv - cy, 0.0)
     fz = jnp.where(in_grid, (z - minb[2]) * inv - cz, 0.0)
+    qx = jnp.clip((fx * _FSCALE).astype(jnp.uint32), 0, (1 << _FBITS) - 1)
+    qy = jnp.clip((fy * _FSCALE).astype(jnp.uint32), 0, (1 << _FBITS) - 1)
+    qz = jnp.clip((fz * _FSCALE).astype(jnp.int32), 0, (1 << _FBITS) - 1)
+    pf1 = (qx << _FBITS) + qy            # 16+16 bits -> uint32
+    pf2 = qz
 
-    key_s, fx_s, fy_s, fz_s, valid_s = jax.lax.sort(
-        (key, fx, fy, fz, in_grid.astype(jnp.float32)), num_keys=1)
-    valid_b = valid_s > 0
+    key_s, pf1_s, pf2_s = jax.lax.sort((key, pf1, pf2), num_keys=1)
+    valid_b = key_s != sentinel
+    inv_fscale = jnp.asarray(1.0 / _FSCALE, dtype)
+    fx_s = ((pf1_s >> _FBITS).astype(dtype) + 0.5) * inv_fscale
+    fy_s = ((pf1_s & ((1 << _FBITS) - 1)).astype(dtype) + 0.5) * inv_fscale
+    fz_s = (pf2_s.astype(dtype) + 0.5) * inv_fscale
+    vf = valid_b.astype(dtype)
+    fx_s, fy_s, fz_s = fx_s * vf, fy_s * vf, fz_s * vf
 
     pos = jnp.arange(n, dtype=jnp.int32)
     is_new = jnp.concatenate([jnp.ones(1, bool),
                               key_s[1:] != key_s[:-1]]) & valid_b
-    # next run start after each position (inclusive scan from the right);
-    # the sentinel handles the final run.
     start_pos = jnp.where(is_new, pos, n)
     next_start = jnp.flip(jax.lax.cummin(jnp.flip(
         jnp.where(jnp.concatenate([is_new[1:], jnp.ones(1, bool)]),
                   pos + 1, n))))
-    # run length at run-start positions (garbage elsewhere, masked by
-    # is_new); invalid tail never starts a run.
     run_len = jnp.where(is_new, next_start - start_pos, 0)
 
-    # top-`capacity` voxels by occupancy; ties toward lower position
-    # (= lower voxel key, matching the previous implementation).
+    # top-`capacity` voxels by occupancy via ONE packed 1-op sort:
+    # (clamped 16383-count << 17 | position) ascending == count descending,
+    # ties toward lower position (same policy the top_k version had).
     k = min(capacity, n)
-    counts_top, starts_top = jax.lax.top_k(run_len, k)
+    rank_key = jnp.where(
+        is_new,
+        ((jnp.asarray((1 << _CBITS) - 1, jnp.int32)
+          - jnp.minimum(run_len, (1 << _CBITS) - 1)) << _PBITS) + pos,
+        sentinel)
+    (rank_s,) = jax.lax.sort((rank_key,), num_keys=1)
+    sel = rank_s[:k]
+    got = sel != sentinel
+    starts_top = jnp.where(got, sel & ((1 << _PBITS) - 1), 0)
+    counts_top = jnp.where(got, jnp.take(run_len, starts_top), 0)
 
     csx = jnp.cumsum(fx_s)
     csy = jnp.cumsum(fy_s)

@@ -6,35 +6,33 @@ plus an uprightness/elevation/flatness gate cascade
 (reference: include/patchwork.hpp:329-476, plane fit :264-279, seeds
 :283-318, CZM binning :512-540, gates :394-451).
 
-TPU-native design (round 3, movement-minimized, v3 table-free): on TPU each
-random-access gather/scatter ELEMENT costs a tile-sized DMA (~8 ns — one
-131k scatter is ~1 ms and does not amortize with batch), so v3 eliminates
-every N-sized scatter/gather. All data movement is ONE sorting network plus
-regular scans:
+TPU-native design (round 3 v4, movement-minimized): the microbenchmarks in
+tools/microbench_ops.py put every N-sized irregular op (sort / scatter /
+gather / associative scan) at ~2-3 ms per cloud at batch 64, while cumsum
+and one-hot matmuls over the ~600-patch axis are ~10x cheaper — so this
+version touches exactly ONE irregular N-op and routes everything else
+through the MXU:
 
-  1. one ``lax.sort`` on a composite (patch_id << 21 | quantized_z) key
-     carries x/y/original-index payloads — grouping points by patch in
-     within-patch z order; z itself is reconstructed from the key
-     (~15 um quantization, far below sensor noise);
-  2. patch boundaries via ``searchsorted`` (P+1 binary searches);
-  3. per-patch seed ranks and the ten plane-fit moment sums via SEGMENTED
-     associative scans over the patch-sorted arrays (reset at patch
-     boundaries, so f32 prefix error never crosses a patch); moments use
-     PATCH-RELATIVE coordinates (offsets from each patch's static CZM
-     center, computed elementwise from the patch id — no table lookups)
-     to keep the covariance numerically centered;
-  4. per-point patch attributes (plane normal, threshold, gate flags)
-     delivered by a P-sized scatter to run starts + one forward-fill
-     associative scan per fit iteration;
-  5. results returned to input order by one final sort on the carried
-     original index.
+  1. one single-operand ``lax.sort`` of the composite
+     (patch_id << 21 | quantized_z) key — used ONLY for the seed stage,
+     which needs within-patch z-ranks (the ``num_lpr`` lowest points);
+     z is decoded from the key (~15 um quantization);
+  2. per-patch seed ranks and (count, z-sum) via two short SEGMENTED
+     scans over the sorted keys; patch boundaries via ``searchsorted``;
+  3. everything else runs in INPUT order: a (N, Pـpad) bfloat16 one-hot
+     of the patch id feeds MXU matmuls both ways — segment-sums of the
+     ten plane-fit moments (one-hot^T @ moments) and per-patch -> per-point
+     attribute delivery (one-hot @ table) — no scatter, no gather, no
+     forward-fill, and no sort-back (outputs are born in input order);
+  4. moments use PATCH-RELATIVE coordinates (offsets from each patch's
+     static CZM center, computed elementwise from the patch id) to keep
+     the raw-moment covariance numerically centered.
 
 Points the reference silently drops (out-of-range radius, patches with too
 few points, sub-mirror reflections) are reported in the `dropped` mask.
-Like the reference (and unlike round 2), ALL patch points participate in
-the plane fit — there is no per-patch capacity anywhere anymore; within-
-patch z ties are broken arbitrarily (z is quantized for the composite key;
-the reference's sort is unstable too).
+Like the reference, ALL patch points participate in the plane fit (no
+per-patch capacity); within-patch z ties are broken arbitrarily (the
+reference's sort is unstable too).
 """
 
 from __future__ import annotations
@@ -90,8 +88,7 @@ def _patch_metadata(cfg: PatchworkConfig):
 
 
 def _patch_centers(cfg: PatchworkConfig):
-    """Static (P,) xy CZM patch-center tables (numpy, used both for the
-    per-patch mean reconstruction and mirrored elementwise per point)."""
+    """Static (P,) xy CZM patch-center tables (numpy)."""
     bounds = list(cfg.ring_boundaries)
     cx, cy = [], []
     for k in range(cfg.num_zones):
@@ -189,13 +186,12 @@ def _patch_center_of_point(pid: jnp.ndarray, cfg: PatchworkConfig, dtype):
 
 def _segmented_sum_scan(is_start: jnp.ndarray, values):
     """Inclusive SEGMENTED sum scan: running sum that resets at positions
-    where ``is_start`` is True. values: tuple of (N,) or (k, N) arrays
-    (scanned along the last axis). Returns same-structure running sums;
-    the value at the last element of each run is the run total."""
+    where ``is_start`` is True. values: tuple of (N,) arrays. The value at
+    the last element of each run is the run total."""
     def op(a, b):
         af, av = a
         bf, bv = b
-        gate = jnp.where(bf, 0.0, 1.0)   # broadcast over leading channel dim
+        gate = jnp.where(bf, 0.0, 1.0)
         return (af | bf, tuple(bc + gate * ac for ac, bc in zip(av, bv)))
     _, sums = jax.lax.associative_scan(op, (is_start, tuple(values)),
                                       axis=-1)
@@ -204,8 +200,8 @@ def _segmented_sum_scan(is_start: jnp.ndarray, values):
 
 def _forward_fill(has: jnp.ndarray, channels: tuple):
     """Propagate the value at each flagged position to every later position
-    (until the next flag) via one associative scan — the gather-free way to
-    broadcast per-patch attributes to the points of each run."""
+    (until the next flag) via one associative scan. (Kept for callers
+    outside patchwork — estimate_ground itself no longer needs it.)"""
     def op(a, b):
         ah, av = a
         bh, bv = b
@@ -213,6 +209,10 @@ def _forward_fill(has: jnp.ndarray, channels: tuple):
                 tuple(jnp.where(bh, bc, ac) for ac, bc in zip(av, bv)))
     _, filled = jax.lax.associative_scan(op, (has, tuple(channels)))
     return filled
+
+
+def _pad128(k: int) -> int:
+    return ((k + 127) // 128) * 128
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -224,97 +224,97 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     n = points.shape[0]
     dtype = points.dtype
     p_cnt = cfg.num_patches
+    p_pad = _pad128(p_cnt + 1)
 
     x, y, z = points[:, 0], points[:, 1], points[:, 2]
     # mirror-reflection removal (include/patchwork.hpp:355-365)
     keep = mask & (z >= -1.8 * cfg.sensor_height)
 
     patch_id, in_czm = czm_bin(points, keep, cfg)
+    valid = in_czm                      # pid < p_cnt exactly when in_czm
+    pid = jnp.where(valid, patch_id, p_cnt)
 
-    # --- one composite sort: patch-major, z-minor ---------------------------
+    # --- per-patch segment sums / attribute delivery on the MXU ------------
+    # (Pallas kernels that generate each one-hot tile inside VMEM — a
+    # materialized (N, p_pad) one-hot would be ~21 GB across a production
+    # batch; ops/segment_matmul.py. XLA-einsum fallback off-TPU.)
+    from quatro_tpu.ops.segment_matmul import segment_sums, table_lookup
+
+    def seg_sums(chan_kn):
+        """Per-patch sums of (K, N) channels -> (P, K)."""
+        return segment_sums(pid, chan_kn, p_pad)[:p_cnt]
+
+    def deliver(tab_pk):
+        """Per-patch (P, K) table -> per-point (K, N) values."""
+        tab = jnp.zeros((p_pad, tab_pk.shape[1]), jnp.float32
+                        ).at[:p_cnt].set(tab_pk.astype(jnp.float32))
+        return table_lookup(pid, tab)
+
+    # --- seed stage: the ONLY irregular N-op is a 1-operand key sort --------
+    # (the num_lpr LOWEST-z eligible points per patch need a z-order)
     zmin = jnp.min(jnp.where(keep, z, jnp.inf))
     zspan = jnp.maximum(jnp.max(jnp.where(keep, z, -jnp.inf)) - zmin, 1e-6)
     zscale = ((1 << _ZBITS) - 1) / zspan
     zq = jnp.clip((z - zmin) * zscale, 0, (1 << _ZBITS) - 1).astype(jnp.int32)
     zq = jnp.where(jnp.isfinite(z) & keep, zq, 0)
-    pid_k = jnp.where(in_czm, patch_id, p_cnt)
-    key = (pid_k << _ZBITS) + zq
-
-    iota = jnp.arange(n, dtype=jnp.int32)
-    key_s, x_s, y_s, orig_s = jax.lax.sort((key, x, y, iota), num_keys=1)
+    key = (pid << _ZBITS) + zq
+    (key_s,) = jax.lax.sort((key,), num_keys=1)
     pid_s = key_s >> _ZBITS
     valid_s = pid_s < p_cnt
-    # z reconstructed from the key: ~zspan/2^21 (~15 um) quantization.
     z_s = zmin + (key_s & ((1 << _ZBITS) - 1)).astype(dtype) / zscale
-
-    pos = jnp.arange(n, dtype=jnp.int32)
-    is_new = jnp.concatenate([jnp.ones(1, bool), pid_s[1:] != pid_s[:-1]])
 
     starts = jnp.searchsorted(pid_s, jnp.arange(p_cnt + 1, dtype=jnp.int32)
                               ).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]          # per-patch totals
+    counts = starts[1:] - starts[:-1]
     nonempty = counts > 0
-    ends_i = jnp.clip(starts[1:] - 1, 0, n - 1)   # last element of each run
+    ends_i = jnp.clip(starts[1:] - 1, 0, n - 1)
+    patch_live = counts > cfg.num_min_pts  # strict >, patchwork.hpp:386
 
-    def seg_at_ends(running):
-        """Per-patch run total from an inclusive segmented running sum."""
-        return jnp.where(nonempty, running[..., ends_i], 0.0)
-
-    patch_live = counts > cfg.num_min_pts      # strict >, patchwork.hpp:386
-
-    # --- patch-relative coordinates (elementwise; no table lookups) ---------
-    pcx, pcy = _patch_center_of_point(jnp.minimum(pid_s, p_cnt - 1), cfg,
-                                      dtype)
-    px = jnp.where(valid_s, x_s - pcx, 0.0)
-    py = jnp.where(valid_s, y_s - pcy, 0.0)
-    pz = jnp.where(valid_s, z_s, 0.0)
-    center_x_np, center_y_np = _patch_centers(cfg)
-    center_x = jnp.asarray(center_x_np, dtype)
-    center_y = jnp.asarray(center_y_np, dtype)
-
-    # --- initial seeds (include/patchwork.hpp:283-318) ----------------------
-    zones_np, rings_np, conc_np, elev_np, flat_np = _patch_metadata(cfg)
+    is_new = jnp.concatenate([jnp.ones(1, bool), pid_s[1:] != pid_s[:-1]])
     margin = (cfg.adaptive_seed_selection_margin * cfg.sensor_height
               if cfg.sensor_height != 0.0 else -0.1)
     zone0_end = int(cfg.num_rings_each_zone[0]
                     * cfg.num_sectors_each_zone[0])
-    is_zone0_pt = pid_s < zone0_end
-    lpr_eligible = valid_s & ~(is_zone0_pt & (z_s < margin))
+    is_zone0_s = pid_s < zone0_end
+    lpr_eligible = valid_s & ~(is_zone0_s & (z_s < margin))
     (rank_run,) = _segmented_sum_scan(is_new,
                                       (lpr_eligible.astype(dtype),))
-    # exclusive in-patch rank among eligible points (z-ordered)
-    lpr_rank = rank_run - lpr_eligible.astype(dtype)
+    lpr_rank = rank_run - lpr_eligible.astype(dtype)   # exclusive rank
     lpr_sel = lpr_eligible & (lpr_rank < cfg.num_lpr)
-    self_f = lpr_sel.astype(dtype)
-    sel_run, selz_run = _segmented_sum_scan(is_new,
-                                            (self_f, self_f * z_s))
-    lpr_cnt = seg_at_ends(sel_run)
+    sel_f = lpr_sel.astype(dtype)
+    sel_run, selz_run = _segmented_sum_scan(is_new, (sel_f, sel_f * z_s))
+    lpr_cnt = jnp.where(nonempty, sel_run[ends_i], 0.0)
     lpr_h = jnp.where(lpr_cnt > 0,
-                      seg_at_ends(selz_run) / jnp.maximum(lpr_cnt, 1.0),
-                      0.0)
+                      jnp.where(nonempty, selz_run[ends_i], 0.0)
+                      / jnp.maximum(lpr_cnt, 1.0), 0.0)
 
-    # deliver per-patch seed threshold to points: P-sized scatter + ffill
-    seed_idx = jnp.where(nonempty, starts[:p_cnt], n)
-    has = jnp.zeros((n + 1,), bool).at[seed_idx].set(nonempty)[:n]
+    # --- input-order machinery from here on ---------------------------------
+    thr_pt = deliver((lpr_h + cfg.th_seeds)[:, None])[0]
+    member = valid & (z < thr_pt)
 
-    def seed_f(v):
-        return jnp.zeros((n + 1,), dtype).at[seed_idx].set(v)[:n]
+    # patch-relative coordinates (elementwise; no table lookups)
+    pcx, pcy = _patch_center_of_point(jnp.minimum(pid, p_cnt - 1), cfg,
+                                      dtype)
+    px = jnp.where(valid, x - pcx, 0.0)
+    py = jnp.where(valid, y - pcy, 0.0)
+    pz = jnp.where(valid, z, 0.0)
+    center_x_np, center_y_np = _patch_centers(cfg)
+    center_x = jnp.asarray(center_x_np, dtype)
+    center_y = jnp.asarray(center_y_np, dtype)
 
-    (thr_pt,) = _forward_fill(has, (seed_f(lpr_h + cfg.th_seeds),))
-    member = valid_s & (z_s < thr_pt)
+    zones_np, rings_np, conc_np, elev_np, flat_np = _patch_metadata(cfg)
 
-    # --- iterative plane fit via segmented moment scans ---------------------
-    # (include/patchwork.hpp:545-586; covariance on PATCH-RELATIVE offsets
-    # so the raw-moment form stays numerically centered)
+    # --- iterative plane fit: moment matmuls + delivery matmuls -------------
+    # (include/patchwork.hpp:545-586; covariance on patch-relative offsets)
     nrm = th_dist_d = elevation = surface_var = None
-    nx_pt = ny_pt = nz_pt = th_pt = None
-    for _ in range(cfg.num_iter):
+    proj_pt = th_pt = None
+    fl_pt = None
+    for it in range(cfg.num_iter):
         w = member.astype(dtype)
-        mom = (w, w * px, w * py, w * pz,
-               w * px * px, w * px * py, w * px * pz,
-               w * py * py, w * py * pz, w * pz * pz)
-        mom_run = _segmented_sum_scan(is_new, mom)
-        S = jnp.stack([seg_at_ends(ch) for ch in mom_run])   # (10, P)
+        mom = jnp.stack([w, w * px, w * py, w * pz,
+                         w * px * px, w * px * py, w * px * pz,
+                         w * py * py, w * py * pz, w * pz * pz], axis=0)
+        S = seg_sums(mom).T                     # (10, P)
         cnt = jnp.maximum(S[0], 1.0)
         mx_r, my_r, mz_r = S[1] / cnt, S[2] / cnt, S[3] / cnt
         cxx = S[4] / cnt - mx_r * mx_r
@@ -325,13 +325,21 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
         czz = S[9] / cnt - mz_r * mz_r
         (n1, n2, n3), lam_min = smallest_eigenpair_sym3(
             cxx, cxy, cxz, cyy, cyz, czz)
+        # Empty/degenerate patches can yield NaN normals; a NaN row in a
+        # delivery TABLE poisons the matmul for EVERY point (0 * NaN = NaN
+        # inside the contraction), so sanitize before building tables.
+        okp = S[0] > 0.5
+        n1 = jnp.where(okp & jnp.isfinite(n1), n1, 0.0)
+        n2 = jnp.where(okp & jnp.isfinite(n2), n2, 0.0)
+        n3 = jnp.where(okp & jnp.isfinite(n3), n3, 1.0)
+        lam_min = jnp.where(okp & jnp.isfinite(lam_min), lam_min, 0.0)
         # deterministic sign: n_z >= 0 so "below plane + th_dist" is ground
         flip = n3 < 0
         n1 = jnp.where(flip, -n1, n1)
         n2 = jnp.where(flip, -n2, n2)
         n3 = jnp.where(flip, -n3, n3)
         trace = cxx + cyy + czz
-        mx_w = mx_r + center_x                 # world-frame patch mean
+        mx_w = mx_r + center_x                  # world-frame patch mean
         my_w = my_r + center_y
         d = -(n1 * mx_w + n2 * my_w + n3 * mz_r)
         th_dist_d = cfg.th_dist - d
@@ -339,61 +347,47 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
         elevation = mz_r
         nrm = (n1, n2, n3)
 
-        nx_pt, ny_pt, nz_pt, th_pt = _forward_fill(
-            has, (seed_f(n1), seed_f(n2), seed_f(n3), seed_f(th_dist_d)))
-        proj_pt = nx_pt * x_s + ny_pt * y_s + nz_pt * z_s
-        member = valid_s & (proj_pt < th_pt)
+        if it + 1 < cfg.num_iter:
+            vals = deliver(jnp.stack([n1, n2, n3, th_dist_d], axis=-1))
+            proj_pt = vals[0] * x + vals[1] * y + vals[2] * z
+            th_pt = vals[3]
+            member = valid & (proj_pt < th_pt)
+        else:
+            # final iteration: fold the gate flags into the same delivery
+            upright = jnp.abs(n3) >= cfg.uprightness_thr
+            conc = jnp.asarray(conc_np, jnp.int32)
+            elev_thr = jnp.asarray(elev_np, dtype)
+            flat_thr = jnp.asarray(flat_np, dtype)
+            near = conc < cfg.num_rings_of_interest
+            high = elevation > elev_thr
+            flat_ok = flat_thr > surface_var
+            near_accept = jnp.where(high, flat_ok, True)
+            if cfg.using_global_elevation:
+                far_accept = ~(elevation > cfg.global_elevation_threshold)
+            else:
+                far_accept = jnp.ones_like(upright)
+            accepted = upright & jnp.where(near, near_accept, far_accept)
+            accepted = accepted & patch_live
+            # revert/reject bookkeeping (patchwork.hpp:410-426)
+            revert_patch = patch_live & upright & near & high & flat_ok
+            reject_patch = patch_live & upright & near & high & ~flat_ok
+            flags_p = (accepted.astype(dtype)
+                       + 2 * revert_patch.astype(dtype)
+                       + 4 * reject_patch.astype(dtype)
+                       + 8 * patch_live.astype(dtype))
+            vals = deliver(jnp.stack(
+                [n1, n2, n3, th_dist_d, flags_p], axis=-1))
+            proj_pt = vals[0] * x + vals[1] * y + vals[2] * z
+            th_pt = vals[3]
+            fl_pt = (vals[4] + 0.5).astype(jnp.int32)  # exact small ints
 
-    # --- gate cascade (include/patchwork.hpp:394-451) ------------------------
-    upright = jnp.abs(nrm[2]) >= cfg.uprightness_thr
-    conc = jnp.asarray(conc_np, jnp.int32)
-    elev_thr = jnp.asarray(elev_np, dtype)
-    flat_thr = jnp.asarray(flat_np, dtype)
-
-    near = conc < cfg.num_rings_of_interest
-    high = elevation > elev_thr
-    flat_ok = flat_thr > surface_var
-    near_accept = jnp.where(high, flat_ok, True)
-    if cfg.using_global_elevation:
-        far_accept = ~(elevation > cfg.global_elevation_threshold)
-    else:
-        far_accept = jnp.ones_like(upright)
-    accepted = upright & jnp.where(near, near_accept, far_accept)
-    accepted = accepted & patch_live
-
-    # revert/reject bookkeeping (patchwork.hpp:410-426): only near-ring,
-    # upright patches that tripped the elevation gate are candidates
-    revert_patch = patch_live & upright & near & high & flat_ok
-    reject_patch = patch_live & upright & near & high & ~flat_ok
-
-    # --- per-point classification -------------------------------------------
-    # The final fit iteration already delivered (n, th) per point; only the
-    # per-patch gate flags still need the scatter + forward-fill hop.
-    flags_p = (accepted.astype(jnp.int32)
-               + 2 * revert_patch.astype(jnp.int32)
-               + 4 * reject_patch.astype(jnp.int32)
-               + 8 * patch_live.astype(jnp.int32))
-    s_fl = jnp.zeros((n + 1,), jnp.int32).at[seed_idx].set(flags_p)[:n]
-    (fl_pt,) = _forward_fill(has, (s_fl,))
-
-    live_pt = valid_s & ((fl_pt & 8) > 0)
-    proj_pt = nx_pt * x_s + ny_pt * y_s + nz_pt * z_s
+    # --- per-point classification (input order — no sort-back needed) -------
+    live_pt = valid & ((fl_pt & 8) > 0)
     is_ground_pt = proj_pt < th_pt
-    ground_s = live_pt & ((fl_pt & 1) > 0) & is_ground_pt
-    nonground_s = live_pt & ~ground_s
-    reverted_s = live_pt & ((fl_pt & 2) > 0) & is_ground_pt
-    rejected_s = live_pt & ((fl_pt & 4) > 0) & is_ground_pt
-
-    # --- back to input order: one sort on the carried original index --------
-    packed = (ground_s.astype(jnp.int32)
-              + 2 * nonground_s.astype(jnp.int32)
-              + 4 * reverted_s.astype(jnp.int32)
-              + 8 * rejected_s.astype(jnp.int32))
-    _, packed_o = jax.lax.sort((orig_s, packed), num_keys=1)
-    ground = (packed_o & 1) > 0
-    nonground = (packed_o & 2) > 0
-    reverted = (packed_o & 4) > 0
-    rejected = (packed_o & 8) > 0
+    ground = live_pt & ((fl_pt & 1) > 0) & is_ground_pt
+    nonground = live_pt & ~ground
+    reverted = live_pt & ((fl_pt & 2) > 0) & is_ground_pt
+    rejected = live_pt & ((fl_pt & 4) > 0) & is_ground_pt
     dropped = mask & ~ground & ~nonground
     patch_normal = jnp.stack([nrm[0], nrm[1], nrm[2]], axis=-1)
     return PatchworkResult(ground, nonground, dropped, patch_normal,

@@ -38,12 +38,32 @@ class ProjectionResult(NamedTuple):
     owner: jax.Array            # (R, C) int32 owning point index, -1 empty
 
 
+# Range quantization for the packed owner key: 15 bits over _RMAX metres
+# (~3.7 mm buckets). The range image handed to the angle criterion is the
+# DEQUANTIZED owner range — a 3.7 mm perturbation against segment-boundary
+# range jumps that are centimetres-to-metres (the criterion threshold at
+# 60 deg corresponds to |d1-d2| ~ 0.002*range); the gates downstream are
+# counting gates, not exact-range gates.
+_RBITS = 15
+_RMAX = 120.0
+_IBITS = 17
+
+
 def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
                            lidar: LidarConfig, min_range: float = 0.1):
     """Spherical projection (reference: include/imageProjection.hpp:308-352).
 
-    Returns (rows (N,), cols (N,), ranges (N,), in_image (N,),
-    range_image (R, C), owner (R, C)).
+    Returns (rows (N,), cols (N,), ranges (N,), in_image (N,), flat (N,)
+    pixel index, range_image (R, C), owner (R, C)).
+
+    TPU design (round-3 v2): ONE packed-key scatter-min builds ownership
+    AND the range image together — (quantized range << 17 | point index);
+    the closest return wins its pixel, ties inside one ~3.7 mm bucket
+    break toward the lowest point index. (Which same-range return owns a
+    pixel is a determinism policy, not reference semantics — the
+    reference's last-write-wins depends on scan order.) A second f32
+    scatter for the exact ranges cost ~3 ms/cloud at batch 64 and only
+    sharpened the angle criterion below sensor noise.
     """
     dtype = points.dtype
     rows_n, cols_n = lidar.n_scan, lidar.horizon_scan
@@ -62,28 +82,25 @@ def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
           & (rng >= min_range))
     flat = jnp.where(ok, row * cols_n + col, rows_n * cols_n)
 
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    img = jnp.full((rows_n * cols_n + 1,), big, dtype).at[flat].min(
-        jnp.where(ok, rng, big))[:-1]
-    # deterministic owner via ONE packed-key scatter-min: 14 bits of
-    # quantized range (major) | 17 bits of point index (minor) — the
-    # closest return wins its pixel, ties inside one ~6 mm range bucket
-    # break toward the lowest point index. (The former exact two-stage
-    # min-then-tolerance selection cost an extra N-sized gather, ~1 ms per
-    # cloud; which same-range return owns a pixel is a determinism policy,
-    # not reference semantics — the reference's last-write-wins depends on
-    # scan order, imageProjection.hpp:308-352.)
     n = points.shape[0]
-    assert n <= (1 << 17), "owner packing supports up to 131072 points"
-    rq = jnp.clip(rng * jnp.asarray((1 << 14) / 120.0, dtype), 0,
-                  (1 << 14) - 1).astype(jnp.int32)
-    packed = (rq << 17) + jnp.arange(n, dtype=jnp.int32)
-    sentinel = jnp.iinfo(jnp.int32).max
-    owner_key = jnp.full((rows_n * cols_n + 1,), sentinel, jnp.int32) \
+    assert n <= (1 << _IBITS), "owner packing supports up to 131072 points"
+    # 15 range bits + 17 index bits need the full 32 — uint32 packing.
+    rq = jnp.clip(rng * jnp.asarray((1 << _RBITS) / _RMAX, dtype), 0,
+                  (1 << _RBITS) - 1).astype(jnp.uint32)
+    packed = (rq << _IBITS) + jnp.arange(n, dtype=jnp.uint32)
+    sentinel = jnp.asarray(jnp.iinfo(jnp.uint32).max, jnp.uint32)
+    owner_key = jnp.full((rows_n * cols_n + 1,), sentinel, jnp.uint32) \
         .at[flat].min(jnp.where(ok, packed, sentinel))[:-1]
-    owner = jnp.where(owner_key == sentinel, -1,
-                      owner_key & ((1 << 17) - 1))
-    return (row, col, rng, ok,
+    empty = owner_key == sentinel
+    owner = jnp.where(
+        empty, -1,
+        (owner_key & ((1 << _IBITS) - 1)).astype(jnp.int32))
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    img = jnp.where(
+        empty, big,
+        ((owner_key >> _IBITS).astype(dtype) + 0.5)
+        * jnp.asarray(_RMAX / (1 << _RBITS), dtype))
+    return (row, col, rng, ok, flat,
             img.reshape(rows_n, cols_n), owner.reshape(rows_n, cols_n))
 
 
@@ -227,7 +244,7 @@ def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
     (:365-399) marks ground pixels before clustering.
     """
     rows_n, cols_n = lidar.n_scan, lidar.horizon_scan
-    row, col, rng, ok, rimg, owner = project_to_range_image(
+    row, col, rng, ok, flat, rimg, owner = project_to_range_image(
         points, mask, lidar, cfg.min_range)
     occupied = owner >= 0
 
@@ -254,14 +271,20 @@ def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
     outlier_pix = cluster_valid & ~pix_feasible
 
     n = points.shape[0]
-    # One combined scatter (the three pixel classes are disjoint) instead
-    # of three N-sized ones.
+    # Deliver pixel classes to points by ONE packed gather instead of an
+    # N-sized scatter: each point reads its own pixel's (code | owner idx)
+    # word and keeps the code only if IT is the owner — same owner-only
+    # semantics, one irregular op instead of one scatter (+ the word also
+    # rides ownership, so no separate owner read).
     code_pix = (valid_seg_pix.astype(jnp.int32)
                 + 2 * outlier_pix.astype(jnp.int32)
                 + 3 * ground_pix.astype(jnp.int32))
-    own = jnp.where((code_pix > 0) & occupied, owner, n).reshape(-1)
-    codes = jnp.zeros((n + 1,), jnp.int32).at[own].set(
-        code_pix.reshape(-1))[:n]
+    packed_pix = jnp.where(occupied, (code_pix << _IBITS) + owner, -1)
+    flat_c = jnp.minimum(flat, rows_n * cols_n - 1)
+    got = jnp.take(packed_pix.reshape(-1), flat_c)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_owner = ok & ((got & ((1 << _IBITS) - 1)) == iota) & (got >= 0)
+    codes = jnp.where(is_owner, got >> _IBITS, 0)
 
     return ProjectionResult(
         valid_segments=codes == 1,

@@ -92,7 +92,7 @@ def test_patchwork_masked_points_dropped(scan):
 def test_projection_row_col_ranges(scan):
     xyz = scan
     lidar = LidarConfig()
-    row, col, rng, ok, img, owner = project_to_range_image(
+    row, col, rng, ok, _flat, img, owner = project_to_range_image(
         jnp.asarray(xyz), jnp.ones(xyz.shape[0], bool), lidar)
     row, col, ok = np.asarray(row), np.asarray(col), np.asarray(ok)
     assert ok.mean() > 0.95

@@ -66,7 +66,7 @@ def main():
 
     # Precompute one (batch,) range image set for label_components isolation.
     def proj_only(p, m):
-        row, col, rng, ok, rimg, owner = project_to_range_image(
+        row, col, rng, ok, _flat, rimg, owner = project_to_range_image(
             p, m, cfg.lidar, cfg.projection.min_range)
         return rimg, owner >= 0
 
