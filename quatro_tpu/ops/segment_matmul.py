@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_T = 2048          # N-tile length
+_T = 4096          # N-tile length (f32 one-hot tile is P_pad x T = 10.5 MB VMEM)
 
 
 def _oh_tile(ids_ref, p_pad):

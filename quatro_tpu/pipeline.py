@@ -215,17 +215,13 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
     """
     import dataclasses
 
-    if src.points.shape == tgt.points.shape:
-        # One stacked 2x-batch through the (latency-bound) preprocessing
-        # chain — see _extract_features_pair for the rationale.
-        pts = jnp.stack([src.points, tgt.points])
-        msk = jnp.stack([src.mask, tgt.mask])
-        seg2, grd2 = jax.vmap(lambda p, m: preprocess(p, m, config))(pts, msk)
-        src_seg, tgt_seg = seg2[0], seg2[1]
-        src_ground, tgt_ground = grd2[0], grd2[1]
-    else:
-        src_seg, src_ground = preprocess(src.points, src.mask, config)
-        tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
+    # NOTE: do NOT stack the raw clouds into one (2, N, 3) batch here — the
+    # stacked copy is a fresh ~8.6 GB padded buffer at production batch
+    # (minor-dim-3 pads 42x) and doubles the live working set through
+    # preprocessing; measured as a throughput REGRESSION (spill traffic).
+    # The small voxel-level arrays ARE stacked (_extract_features_pair).
+    src_seg, src_ground = preprocess(src.points, src.mask, config)
+    tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
 
     # Coarse solve happens on the (possibly leveled) segmented clouds; the
     # ICP polish, when enabled, runs afterwards on the RAW clouds — the

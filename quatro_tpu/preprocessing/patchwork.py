@@ -17,8 +17,10 @@ through the MXU:
      (patch_id << 21 | quantized_z) key — used ONLY for the seed stage,
      which needs within-patch z-ranks (the ``num_lpr`` lowest points);
      z is decoded from the key (~15 um quantization);
-  2. per-patch seed ranks and (count, z-sum) via two short SEGMENTED
-     scans over the sorted keys; patch boundaries via ``searchsorted``;
+  2. the seed stage needs no scan at all: zone-0 below-margin points
+     form a prefix of each run (z rides in the key), so the eligible
+     region per patch comes from ``searchsorted`` and the LPR z-sums
+     from boundary differences of one two-level cumsum;
   3. everything else runs in INPUT order: a (N, Pـpad) bfloat16 one-hot
      of the patch id feeds MXU matmuls both ways — segment-sums of the
      ten plane-fit moments (one-hot^T @ moments) and per-patch -> per-point
@@ -184,18 +186,19 @@ def _patch_center_of_point(pid: jnp.ndarray, cfg: PatchworkConfig, dtype):
     return r_c * jnp.cos(th_c), r_c * jnp.sin(th_c)
 
 
-def _segmented_sum_scan(is_start: jnp.ndarray, values):
-    """Inclusive SEGMENTED sum scan: running sum that resets at positions
-    where ``is_start`` is True. values: tuple of (N,) arrays. The value at
-    the last element of each run is the run total."""
-    def op(a, b):
-        af, av = a
-        bf, bv = b
-        gate = jnp.where(bf, 0.0, 1.0)
-        return (af | bf, tuple(bc + gate * ac for ac, bc in zip(av, bv)))
-    _, sums = jax.lax.associative_scan(op, (is_start, tuple(values)),
-                                      axis=-1)
-    return sums
+def _blocked_cumsum(v: jnp.ndarray, blk: int = 512) -> jnp.ndarray:
+    """Inclusive cumsum via a two-level (within-block + block-prefix)
+    decomposition: ~3 short cumsums instead of one long one, and the f32
+    error stays ~eps*(blk + n/blk)*|v| instead of growing with the flat
+    prefix magnitude."""
+    n = v.shape[0]
+    if n % blk != 0:
+        return jnp.cumsum(v)
+    b = v.reshape(-1, blk)
+    within = jnp.cumsum(b, axis=1)
+    totals = within[:, -1]
+    off = jnp.cumsum(totals) - totals          # exclusive block prefix
+    return (within + off[:, None]).reshape(-1)
 
 
 def _forward_fill(has: jnp.ndarray, channels: tuple):
@@ -266,27 +269,35 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     starts = jnp.searchsorted(pid_s, jnp.arange(p_cnt + 1, dtype=jnp.int32)
                               ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
-    nonempty = counts > 0
-    ends_i = jnp.clip(starts[1:] - 1, 0, n - 1)
     patch_live = counts > cfg.num_min_pts  # strict >, patchwork.hpp:386
 
-    is_new = jnp.concatenate([jnp.ones(1, bool), pid_s[1:] != pid_s[:-1]])
+    # LPR seeds without any scan over runs (associative scans measured
+    # ~2-3 ms/cloud each at batch 64 and caused a 30-vs-38 pairs/s
+    # regression): zone-0 points below the adaptive margin are INELIGIBLE,
+    # and because z rides in the sort key they form a PREFIX of each
+    # zone-0 run — so the eligible region of patch p is
+    # [estart[p], starts[p+1]) where estart comes from one more
+    # searchsorted on the composite key, and the num_lpr lowest eligible
+    # z's sum is a boundary difference of one (two-level, precision-safe)
+    # cumsum of the decoded z.
     margin = (cfg.adaptive_seed_selection_margin * cfg.sensor_height
               if cfg.sensor_height != 0.0 else -0.1)
     zone0_end = int(cfg.num_rings_each_zone[0]
                     * cfg.num_sectors_each_zone[0])
-    is_zone0_s = pid_s < zone0_end
-    lpr_eligible = valid_s & ~(is_zone0_s & (z_s < margin))
-    (rank_run,) = _segmented_sum_scan(is_new,
-                                      (lpr_eligible.astype(dtype),))
-    lpr_rank = rank_run - lpr_eligible.astype(dtype)   # exclusive rank
-    lpr_sel = lpr_eligible & (lpr_rank < cfg.num_lpr)
-    sel_f = lpr_sel.astype(dtype)
-    sel_run, selz_run = _segmented_sum_scan(is_new, (sel_f, sel_f * z_s))
-    lpr_cnt = jnp.where(nonempty, sel_run[ends_i], 0.0)
+    mq = jnp.clip(jnp.ceil((jnp.asarray(margin, dtype) - zmin) * zscale),
+                  0, (1 << _ZBITS) - 1).astype(jnp.int32)
+    estart0 = jnp.searchsorted(
+        key_s, (jnp.arange(zone0_end, dtype=jnp.int32) << _ZBITS) + mq
+        ).astype(jnp.int32)
+    estart = jnp.concatenate([estart0, starts[zone0_end:p_cnt]])
+    avail = jnp.maximum(starts[1:] - estart, 0)
+    lpr_cnt = jnp.minimum(avail, cfg.num_lpr)
+    zcs = _blocked_cumsum(z_s * valid_s.astype(dtype))
+    hi_i = jnp.clip(estart + lpr_cnt - 1, 0, n - 1)
+    lo = jnp.where(estart > 0, zcs[jnp.maximum(estart - 1, 0)], 0.0)
+    zsum = jnp.where(lpr_cnt > 0, zcs[hi_i] - lo, 0.0)
     lpr_h = jnp.where(lpr_cnt > 0,
-                      jnp.where(nonempty, selz_run[ends_i], 0.0)
-                      / jnp.maximum(lpr_cnt, 1.0), 0.0)
+                      zsum / jnp.maximum(lpr_cnt, 1).astype(dtype), 0.0)
 
     # --- input-order machinery from here on ---------------------------------
     thr_pt = deliver((lpr_h + cfg.th_seeds)[:, None])[0]
