@@ -247,8 +247,17 @@ class SolverConfig:
     cote_noise_bound_coeff: float = 1.0
     # Inlier selection (replacement for PMC max-clique, src/graph.cc:12-130):
     # "clique" = k-core peel + batched greedy clique growth; "kcore" = k-core
-    # filter only (KCORE_HEU analog); "none" = all scale-inliers pass.
+    # filter only (KCORE_HEU analog); "exact" = branch-and-bound over the
+    # k-core restriction, warm-started from the greedy clique (PMC_EXACT
+    # analog, src/graph.cc:106-127 — for small-N/offline parity runs);
+    # "none" = all scale-inliers pass.
     inlier_selection_mode: str = "clique"
+    # "exact" mode knobs: the search runs on the `exact_clique_cap`
+    # top-scored k-core vertices and is truncated at `exact_clique_max_steps`
+    # branch-and-bound iterations (the analog of pmc's
+    # max_clique_time_limit; the incumbent so far is still returned).
+    exact_clique_cap: int = 64
+    exact_clique_max_steps: int = 20000
     kcore_heuristic_threshold: float = 0.5
     # Number of parallel greedy-growth seeds for the clique search. All
     # seeds grow in lock-step ((S,N)@(N,N) MXU matmuls), so large S is nearly
@@ -288,7 +297,8 @@ class SolverConfig:
             raise ValueError("rotation algorithm must be GNC_TLS or FGR")
         if self.noise_bound == 0.0:
             raise ValueError("noise_bound must be nonzero")
-        if self.inlier_selection_mode not in ("clique", "kcore", "none"):
+        if self.inlier_selection_mode not in ("clique", "kcore", "exact",
+                                              "none"):
             raise ValueError(f"bad inlier_selection_mode {self.inlier_selection_mode!r}")
         if self.num_hypotheses < 1:
             raise ValueError("num_hypotheses must be >= 1")

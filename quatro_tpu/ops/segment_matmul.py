@@ -73,11 +73,19 @@ def segment_sums(ids: jnp.ndarray, vals: jnp.ndarray, p_pad: int,
     """out[p, k] = sum over i with ids[i] == p of vals[k, i].
 
     ids: (N,) int32 in [0, p_pad) (out-of-range ids are dropped);
-    vals: (K, N) f32, K-major. Returns (p_pad, K) f32. N % 2048 == 0 on
-    the TPU path (the pipeline's capacities are powers of two).
+    vals: (K, N) f32, K-major. Returns (p_pad, K) f32. N % 4096 (= _T) == 0
+    on the TPU path (the pipeline's capacities are powers of two >= 4096).
     """
     k, n = vals.shape
     if not (jax.default_backend() == "tpu" or interpret) or n % _T != 0:
+        if jax.default_backend() == "tpu" and n >= 4 * _T:
+            # The materialized one-hot is (N, p_pad) bf16 — the exact HBM
+            # blowup the kernel exists to avoid (~168 MB per 131k cloud).
+            import warnings
+            warnings.warn(
+                f"segment_sums: N={n} is not a multiple of {_T}; taking the"
+                " materialized one-hot fallback ON TPU at production scale",
+                stacklevel=2)
         oh = (ids[:, None] == jnp.arange(p_pad)[None, :]
               ).astype(jnp.bfloat16)
         return jnp.einsum("np,kn->pk", oh, vals,

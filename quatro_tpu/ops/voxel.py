@@ -85,9 +85,14 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     fx = jnp.where(in_grid, (x - minb[0]) * inv - cx, 0.0)
     fy = jnp.where(in_grid, (y - minb[1]) * inv - cy, 0.0)
     fz = jnp.where(in_grid, (z - minb[2]) * inv - cz, 0.0)
-    qx = jnp.clip((fx * _FSCALE).astype(jnp.uint32), 0, (1 << _FBITS) - 1)
-    qy = jnp.clip((fy * _FSCALE).astype(jnp.uint32), 0, (1 << _FBITS) - 1)
-    qz = jnp.clip((fz * _FSCALE).astype(jnp.int32), 0, (1 << _FBITS) - 1)
+    # Clip in FLOAT before the integer cast: clipping after an unsigned
+    # cast cannot recover a negative, and negative-float->uint casts are
+    # backend-dependent (fx/fy/fz are >= 0 in exact f32, but the guard
+    # must actually guard).
+    fmax = jnp.asarray(float((1 << _FBITS) - 1), dtype)
+    qx = jnp.clip(fx * _FSCALE, 0.0, fmax).astype(jnp.uint32)
+    qy = jnp.clip(fy * _FSCALE, 0.0, fmax).astype(jnp.uint32)
+    qz = jnp.clip(fz * _FSCALE, 0.0, fmax).astype(jnp.int32)
     pf1 = (qx << _FBITS) + qy            # 16+16 bits -> uint32
     pf2 = qz
 

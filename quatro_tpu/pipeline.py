@@ -219,7 +219,10 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
     # stacked copy is a fresh ~8.6 GB padded buffer at production batch
     # (minor-dim-3 pads 42x) and doubles the live working set through
     # preprocessing; measured as a throughput REGRESSION (spill traffic).
-    # The small voxel-level arrays ARE stacked (_extract_features_pair).
+    # (_extract_features_pair does stack the raw clouds once, but that
+    # stack is transient — consumed immediately by voxel_downsample —
+    # unlike a preprocess-level stack that stays live across the whole
+    # Patchwork/projection chain; the 44 pairs/s bench includes it.)
     src_seg, src_ground = preprocess(src.points, src.mask, config)
     tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
 

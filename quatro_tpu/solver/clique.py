@@ -220,6 +220,97 @@ def greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
     return cliques[jnp.argmax(sizes)]
 
 
+@partial(jax.jit, static_argnames=("cap", "max_steps"))
+def exact_max_clique_bb(adj: jnp.ndarray, mask: jnp.ndarray,
+                        incumbent: jnp.ndarray | None = None,
+                        cap: int = 64, max_steps: int = 20000):
+    """Exact branch-and-bound max clique (PMC_EXACT production parity).
+
+    The reference exposes exact search via pmc's branch-and-bound
+    (reference: src/graph.cc:106-127, modes PMC_EXACT/search_dense). This
+    is its TPU-resident equivalent for small-N/offline runs: an iterative
+    Carraghan-Pardalos DFS in one ``lax.while_loop`` — an explicit frame
+    stack of (candidate-set, clique-set) boolean vectors, the |C|+|P|
+    bound for pruning, and an optional warm-start incumbent (the greedy
+    clique) that prunes most of the tree immediately.
+
+    The search runs on the `cap` highest-scored vertices of the max
+    k-core (score = core membership then degree, the same ordering the
+    greedy search seeds from): any clique is contained in the k-core of
+    its own size, so for the ~95%-outlier consistency graphs this solver
+    targets, the true max clique survives the restriction whenever the
+    max core is <= cap — `restricted` reports when that does NOT hold.
+
+    Returns (clique mask (N,) bool, completed () bool, restricted ()
+    bool). ``completed`` is False when max_steps was exhausted (the
+    incumbent so far is still returned — the analog of pmc's
+    max_clique_time_limit wall-clock cap, include/quatro.hpp:246).
+    """
+    n = adj.shape[0]
+    cap = min(cap, n)
+    adj_b = adj & mask[:, None] & mask[None, :]
+    adj_b = adj_b & ~jnp.eye(n, dtype=bool)
+
+    scores = clique_seed_scores(adj, mask)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    _, vsel = jax.lax.top_k(scores, cap)                   # (cap,) indices
+    vvalid = mask[vsel] & (scores[vsel] > -jnp.inf)
+    sub = adj_b[vsel][:, vsel] & vvalid[:, None] & vvalid[None, :]
+
+    # restriction check: did the cap cut into the max k-core?
+    _, core_mask = max_kcore(adj_b, mask)
+    core_in = core_mask & mask
+    restricted = jnp.sum(core_in) > jnp.sum(core_in[vsel] & vvalid)
+
+    if incumbent is not None:
+        inc_sub = incumbent[vsel] & vvalid
+        # usable only if the whole incumbent lives inside the restriction
+        inc_ok = jnp.sum(inc_sub) == jnp.sum(incumbent & mask)
+        best_set0 = jnp.where(inc_ok, inc_sub, jnp.zeros((cap,), bool))
+    else:
+        best_set0 = jnp.zeros((cap,), bool)
+    best_size0 = jnp.sum(best_set0).astype(jnp.int32)
+
+    depth = cap + 2
+    p_stk = jnp.zeros((depth, cap), bool).at[0].set(vvalid)
+    c_stk = jnp.zeros((depth, cap), bool)
+
+    def cond(st):
+        _, _, sp, _, _, steps = st
+        return (sp > 0) & (steps < max_steps)
+
+    def body(st):
+        p_stk, c_stk, sp, best_size, best_set, steps = st
+        sp1 = sp - 1
+        p = p_stk[sp1]
+        c = c_stk[sp1]
+        csz = jnp.sum(c).astype(jnp.int32)
+        psz = jnp.sum(p).astype(jnp.int32)
+        improved = csz > best_size
+        best_size = jnp.where(improved, csz, best_size)
+        best_set = jnp.where(improved, c, best_set)
+        promising = (csz + psz > best_size) & (psz > 0)
+        v = jnp.argmax(p)                       # first candidate in order
+        vm = jnp.zeros((cap,), bool).at[v].set(True)
+        p_ex = p & ~vm
+        p_in = p & jnp.take(sub, v, axis=0)
+        c_in = c | vm
+        # exclude-branch frame replaces the popped slot; include on top
+        p_stk = p_stk.at[sp1].set(jnp.where(promising, p_ex, p))
+        p_stk = p_stk.at[sp1 + 1].set(p_in)
+        c_stk = c_stk.at[sp1 + 1].set(c_in)
+        sp = jnp.where(promising, sp1 + 2, sp1)
+        return p_stk, c_stk, sp, best_size, best_set, steps + 1
+
+    _, _, sp, best_size, best_set, steps = jax.lax.while_loop(
+        cond, body,
+        (p_stk, c_stk, jnp.asarray(1, jnp.int32), best_size0, best_set0,
+         jnp.asarray(0, jnp.int32)))
+    completed = sp == 0
+    out = jnp.zeros((n,), bool).at[vsel].set(best_set & vvalid)
+    return out, completed, restricted
+
+
 def clique_seed_scores(adj: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Seed attractiveness for greedy growth: max-core membership
     dominates, degree breaks ties (shared by select_inliers and
@@ -284,10 +375,12 @@ def top_distinct_cliques(cliques: jnp.ndarray, k: int,
 
 def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
                    kcore_threshold: float = 0.5, num_seeds: int = 16,
-                   max_size: int = 512, swap_rounds: int = 0):
+                   max_size: int = 512, swap_rounds: int = 0,
+                   exact_cap: int = 64, exact_max_steps: int = 20000):
     """Dispatch over the inlier-selection modes of Quatro::Params
     (include/quatro.hpp:184-189,248): clique (PMC analog), kcore
-    (KCORE_HEU analog), none.
+    (KCORE_HEU analog), exact (PMC_EXACT analog — branch-and-bound over
+    the k-core restriction, greedy incumbent as warm start), none.
 
     Returns (inlier_mask (N,) bool, valid () bool). valid is False when the
     selected set has <= 1 vertex (reference aborts there,
@@ -295,6 +388,16 @@ def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",
     """
     if mode == "none":
         sel = mask
+    elif mode == "exact":
+        greedy = greedy_cliques(adj, clique_seed_scores(adj, mask), mask,
+                                num_seeds=num_seeds, max_size=max_size,
+                                swap_rounds=swap_rounds) & mask
+        bb, _, _ = exact_max_clique_bb(adj, mask, incumbent=greedy,
+                                       cap=exact_cap,
+                                       max_steps=exact_max_steps)
+        # BB is seeded with the greedy incumbent so it can only match or
+        # beat it — but keep the max as a guard for the truncated case.
+        sel = jnp.where(jnp.sum(bb) >= jnp.sum(greedy), bb, greedy)
     else:
         max_core, kcore_mask = max_kcore(adj, mask)
         # An edgeless graph's largest non-empty core is the 0-core = every

@@ -93,7 +93,9 @@ def register_correspondences(
         kcore_threshold=config.kcore_heuristic_threshold,
         num_seeds=config.clique_num_seeds,
         max_size=config.max_clique_size,
-        swap_rounds=config.clique_swap_rounds)
+        swap_rounds=config.clique_swap_rounds,
+        exact_cap=config.exact_clique_cap,
+        exact_max_steps=config.exact_clique_max_steps)
     return _solve_from_inliers(src, tgt, clique_mask, valid, scale,
                                config, prior_ryrx, has_prior)
 
@@ -226,7 +228,9 @@ def register_hypotheses(
         kcore_threshold=config.kcore_heuristic_threshold,
         num_seeds=config.clique_num_seeds,
         max_size=config.max_clique_size,
-        swap_rounds=config.clique_swap_rounds)
+        swap_rounds=config.clique_swap_rounds,
+        exact_cap=config.exact_clique_cap,
+        exact_max_steps=config.exact_clique_max_steps)
     grown = clique_mod.grow_greedy_cliques(
         adj, clique_mod.clique_seed_scores(adj, mask), mask,
         num_seeds=config.clique_num_seeds,
