@@ -215,6 +215,111 @@ def load_frame_features(path: str) -> FrameFeatures:
                             if k in z.files})
 
 
+def run_odometry_windowed(scan_stream, config: PipelineConfig =
+                          PipelineConfig(), window: int = 16):
+    """Windowed streaming odometry: the batched answer to B=1 latency.
+
+    The frame-by-frame path (``OdometryRunner.step``) pays full single-pair
+    program latency plus a host sync per frame — measured 0.08 pairs/s on
+    tunneled hardware vs 44 pairs/s for the batched pipeline (RESULTS.md).
+    This runner buffers ``window`` frames and issues exactly TWO device
+    calls per window: one vmapped feature extraction over the W frames,
+    and one batched register+verify over the W consecutive pairs
+    (including the boundary pair to the previous window's last frame,
+    so no pair is lost). Poses therefore arrive with up to W frames of
+    lag — the throughput/latency tradeoff the deployment guide describes.
+
+    ``scan_stream`` yields (points (N, 3) np/jnp, mask (N,)) per frame; all
+    frames must share the static capacity N. Yields (frame_index,
+    solution | None, overlap | None) in frame order (frame 0 has no pair).
+
+    Reference analog: FPFHManager's swapTgt2Src descriptor reuse
+    (include/fpfh_manager.hpp:74-118) — kept here (each frame is extracted
+    exactly once); the windowed batching is beyond the reference.
+    """
+    runner = OdometryRunner(config)
+    extract_b = jax.jit(jax.vmap(runner._extract_impl))
+
+    prev: Optional[FrameFeatures] = None   # last frame, leading axis of 1
+    buf_p, buf_m, buf_i = [], [], []
+    frame_no = 0
+
+    def flush():
+        nonlocal prev
+        w = len(buf_p)
+        if w == 0:
+            return
+        pts = np.stack(buf_p)
+        msk = np.stack(buf_m)
+        if w < window:   # pad the tail window to the compiled width
+            pad = window - w
+            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
+            msk = np.concatenate([msk, np.repeat(msk[-1:], pad, axis=0)])
+        feats = extract_b(jnp.asarray(pts), jnp.asarray(msk))
+        lead = (jax.tree_util.tree_map(lambda x: x[:1], feats)
+                if prev is None else prev)
+        srcs = jax.tree_util.tree_map(
+            lambda p, f: jnp.concatenate([p, f[:-1]]), lead, feats)
+        sols, overlaps = runner.register_pairs(srcs, feats)
+        sols_np = jax.device_get(sols)
+        overlaps_np = np.asarray(overlaps)
+        out = []
+        for j in range(w):
+            idx = buf_i[j]
+            if idx == 0:   # first frame ever: pair (f0, f0) is a placeholder
+                out.append((idx, None, None))
+            else:
+                out.append((idx,
+                            jax.tree_util.tree_map(lambda x: x[j], sols_np),
+                            float(overlaps_np[j])))
+        prev = jax.tree_util.tree_map(lambda x: x[w - 1:w], feats)
+        buf_p.clear(), buf_m.clear(), buf_i.clear()
+        return out
+
+    for pts, mask in scan_stream:
+        buf_p.append(np.asarray(pts))
+        buf_m.append(np.asarray(mask))
+        buf_i.append(frame_no)
+        frame_no += 1
+        if len(buf_p) == window:
+            yield from flush()
+    tail = flush()
+    if tail:
+        yield from tail
+
+
+def run_odometry_files_windowed(paths, config: PipelineConfig =
+                                PipelineConfig(), window: int = 16,
+                                capacity: Optional[int] = None,
+                                n_workers: int = 4, queue_depth: int = 0):
+    """Windowed odometry over KITTI .bin files with the native async
+    prefetch loader (see run_odometry_windowed). queue_depth defaults to
+    2 * window so disk IO for the next window overlaps the device calls
+    for the current one."""
+    capacity = capacity or config.max_raw_points
+    queue_depth = queue_depth or 2 * window
+
+    def _numpy_stream():
+        from quatro_tpu.io.kitti import load_kitti_bin
+        for p in paths:
+            xyz = load_kitti_bin(p)
+            pb = PointBatch.from_numpy(xyz, capacity)
+            yield np.asarray(pb.points), np.asarray(pb.mask)
+
+    try:
+        from quatro_tpu.native import ScanLoader
+        stream = ScanLoader(paths, capacity=capacity, n_workers=n_workers,
+                            queue_depth=queue_depth)
+    except (OSError, RuntimeError):
+        stream = _numpy_stream()
+    try:
+        yield from run_odometry_windowed(stream, config, window=window)
+    finally:
+        close = getattr(stream, "close", None)
+        if close:
+            close()
+
+
 def run_odometry_files(paths, config: PipelineConfig = PipelineConfig(),
                        capacity: Optional[int] = None,
                        n_workers: int = 4, queue_depth: int = 8):

@@ -173,12 +173,13 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
 
     nn_ab, d2_ab = _nearest_neighbors(src_desc, tgt_desc,
                                       src_mask, tgt_mask)  # (Na,)
-    nn_ba, _ = _nearest_neighbors(tgt_desc, src_desc,
-                                  tgt_mask, src_mask)      # (Nb,)
+    nn_ba, d2_ba = _nearest_neighbors(tgt_desc, src_desc,
+                                      tgt_mask, src_mask)  # (Nb,)
     mutual_a = (nn_ba[nn_ab] == ia) & src_mask & tgt_mask[nn_ab]
 
     if use_crosscheck:
         cand_src0, cand_tgt0, cand_flag = ia, nn_ab, mutual_a
+        cand_q0 = d2_ab
     else:
         # One-directional union; a mutual pair appears on both sides, so
         # drop its tgt-side copy.
@@ -188,16 +189,28 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         cand_flag = jnp.concatenate(
             [src_mask & tgt_mask[nn_ab],
              tgt_mask & src_mask[nn_ba] & ~mutual_b])
+        cand_q0 = jnp.concatenate([d2_ab, d2_ba])
 
     n_cand = cand_src0.shape[0]
-    ic = jnp.arange(n_cand)
+    ic = jnp.arange(n_cand, dtype=jnp.int32)
+    assert max(na, nb) <= (1 << 15), "candidate packing supports 32k kps"
+    packed_st0 = (cand_src0.astype(jnp.int32) << 15) \
+        + cand_tgt0.astype(jnp.int32)
 
-    # Compact candidate pairs to the front.
-    order = jnp.argsort(jnp.where(cand_flag, ic, n_cand + ic))
+    # Compact candidate pairs to the front: ONE 3-operand sort carrying
+    # the packed (src, tgt) pair and the NN distance (bit-cast; d2 >= 0
+    # so the f32 bit pattern is order-preserving as int32) — replacing an
+    # argsort + four V-sized gathers (the quality used to be re-derived
+    # from two (V, 33) descriptor gathers; the NN search already knows it).
+    key0 = jnp.where(cand_flag, ic, n_cand + ic)
+    qbits0 = jax.lax.bitcast_convert_type(
+        jnp.maximum(cand_q0, 0.0).astype(jnp.float32), jnp.int32)
+    _, packed_st, qbits = jax.lax.sort((key0, packed_st0, qbits0),
+                                       num_keys=1)
     ncorr = jnp.sum(cand_flag).astype(jnp.int32)
     cand_pos = ic < ncorr
-    cand_src = cand_src0[order]
-    cand_tgt = cand_tgt0[order]
+    cand_src = packed_st >> 15
+    cand_tgt = packed_st & ((1 << 15) - 1)
 
     keep = cand_pos
     if use_tuple_test:
@@ -217,19 +230,20 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
 
     # Final compaction into the fixed capacity: kept pairs first, ordered
     # best-descriptor-distance-first, so capacity overflow drops the WORST
-    # matches instead of a spatially biased tail (argsort is stable, so
-    # the no-overflow case stays deterministic too).
-    # direct per-pair distances — the full (Na, Nb) matrix no longer exists
-    diff = src_desc[cand_src] - tgt_desc[cand_tgt]
-    quality = jnp.sum(diff * diff, axis=-1)
-    inf = jnp.asarray(jnp.inf, quality.dtype)
-    korder = jnp.argsort(jnp.where(keep, quality, inf))
+    # matches instead of a spatially biased tail. ONE 2-operand sort on
+    # (quality bits, packed pair); ties in quality break by the packed
+    # pair for determinism (lax.sort is lexicographic over operands...
+    # only over num_keys — pass num_keys=2 so equal-quality order is
+    # pinned by the pair id instead of batch position).
+    inf_bits = jnp.iinfo(jnp.int32).max
+    qkey = jnp.where(keep, qbits, inf_bits)
+    _, packed_sel = jax.lax.sort((qkey, packed_st), num_keys=2)
     kcount = jnp.sum(keep).astype(jnp.int32)
-    sel = korder[:capacity] if n_cand >= capacity else jnp.pad(
-        korder, (0, capacity - n_cand))
+    sel = (packed_sel[:capacity] if n_cand >= capacity
+           else jnp.pad(packed_sel, (0, capacity - n_cand)))
     out_mask = jnp.arange(capacity) < jnp.minimum(kcount, capacity)
-    s_idx = jnp.where(out_mask, cand_src[sel], 0).astype(jnp.int32)
-    t_idx = jnp.where(out_mask, cand_tgt[sel], 0).astype(jnp.int32)
+    s_idx = jnp.where(out_mask, sel >> 15, 0).astype(jnp.int32)
+    t_idx = jnp.where(out_mask, sel & ((1 << 15) - 1), 0).astype(jnp.int32)
     s_xyz = jnp.where(out_mask[:, None], src_xyz[s_idx], 0.0)
     t_xyz = jnp.where(out_mask[:, None], tgt_xyz[t_idx], 0.0)
     return Correspondences(s_idx, t_idx, out_mask, s_xyz, t_xyz)

@@ -34,13 +34,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_T = 4096          # N-tile length (f32 one-hot tile is P_pad x T = 10.5 MB VMEM)
+_T = 8192          # N-tile length (f32 one-hot tile is P_pad x T = 21 MB
+                   # VMEM; chained-carry microbenches showed per-grid-step
+                   # overhead, not MXU/HBM, dominates these kernels — bigger
+                   # tiles halve the step count)
+# The new fused kernels keep ~35 MB of one-hot tiles + intermediates live
+# at T=4096 — over the DEFAULT 16 MB scoped-VMEM budget but well inside the
+# chip's 128 MB VMEM, so they pass an explicit vmem_limit_bytes instead of
+# shrinking tiles (T=1024 tiles 4x'd the grid-step overhead and REGRESSED
+# patchwork 2.8 -> 3.7 ms/cloud, measured).
+_TH = _T           # cross_histogram tile (measured 35.3 MB at T=4096)
+_TF = _T           # fused fit/classify tile (measured 34.3 MB at T=4096)
+_BIG_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _oh_tile(ids_ref, p_pad):
+def _oh_tile(ids_ref, p_pad, dtype=jnp.float32):
     """(P, T) one-hot tile from a (1, T) ids block, built in VMEM."""
     return (ids_ref[:] == jax.lax.broadcasted_iota(
-        jnp.int32, (p_pad, 1), 0)).astype(jnp.float32)
+        jnp.int32, (p_pad, 1), 0)).astype(dtype)
+
+
+def _split_dot_oh_vals(oh16, vals, dims):
+    """f32-accurate one-hot contraction in TWO bf16 MXU passes.
+
+    A 0/1 one-hot is EXACT in bf16, so with vals split into three bf16
+    terms (hi + mid + lo reconstructs ~26 bits >= f32's 24), the products
+    are exact and the f32-accumulated sum equals the f32 dot up to
+    accumulation rounding — the same error class as Precision.HIGHEST,
+    which runs SIX bf16 passes because it must split BOTH operands
+    (measured 0.73 ms/item for the (P, T)x(K, T) segment contraction;
+    three passes halve that). A 2-term split was tried first: it only
+    reconstructs ~17 bits (7e-6 relative, measured).
+    """
+    out = None
+    rem = vals
+    for _ in range(3):
+        part = rem.astype(jnp.bfloat16)
+        rem = rem - part.astype(jnp.float32)
+        d = jax.lax.dot_general(oh16, part, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
 
 
 def _seg_kernel(p_pad: int, ids, vals, out):
@@ -50,21 +84,31 @@ def _seg_kernel(p_pad: int, ids, vals, out):
     def _():
         out[:] = jnp.zeros_like(out)
 
-    oh = _oh_tile(ids, p_pad)                     # (P, T)
-    # (P, T) x (K, T) contracting T -> (P, K)
-    out[:] = out[:] + jax.lax.dot_general(
-        oh, vals[:], dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    oh = _oh_tile(ids, p_pad, jnp.bfloat16)       # (P, T)
+    # (P, T) x (K, T) contracting T -> (P, K), split-bf16 (see helper)
+    out[:] = out[:] + _split_dot_oh_vals(
+        oh, vals[:], (((1,), (1,)), ((), ())))
+
+
+def _lookup_dot(oh16, tab):
+    """(P, K) table x (P, T) bf16 one-hot -> (K, T), split-bf16 (the
+    one-hot is exact in bf16; the table rides as hi + lo — see
+    _split_dot_oh_vals for the accuracy argument)."""
+    dims = (((0,), (0,)), ((), ()))
+    out = None
+    rem = tab
+    for _ in range(3):
+        part = rem.astype(jnp.bfloat16)
+        rem = rem - part.astype(jnp.float32)
+        d = jax.lax.dot_general(part, oh16, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
 
 
 def _lookup_kernel(p_pad: int, ids, tab, out):
-    oh = _oh_tile(ids, p_pad)                     # (P, T)
-    # (P, K) x (P, T) contracting P -> (K, T)
-    out[:] = jax.lax.dot_general(
-        tab[:], oh, dimension_numbers=(((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+    oh = _oh_tile(ids, p_pad, jnp.bfloat16)       # (P, T)
+    out[:] = _lookup_dot(oh, tab[:])
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad", "interpret"))
@@ -101,8 +145,199 @@ def segment_sums(ids: jnp.ndarray, vals: jnp.ndarray, p_pad: int,
         out_specs=pl.BlockSpec((p_pad, k), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, k), jnp.float32),
+        compiler_params=_BIG_VMEM,
         interpret=interpret,
     )(ids[None, :], vals)
+
+
+def _hist_kernel(a_pad: int, b_pad: int, ids_a, ids_b, w, out):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    oh_a = _oh_tile(ids_a, a_pad)                 # (A, T)
+    oh_b = _oh_tile(ids_b, b_pad)                 # (B, T)
+    k = w.shape[0]
+    for kk in range(k):
+        # (A, T) x (B, T) contracting T -> (A, B), weighted by channel kk.
+        # DEFAULT precision on purpose: the one-hot side is exact in bf16
+        # and the weight channel tolerates bf16 (counts stay exact; a
+        # weighted channel sees ~0.4% relative error — the Patchwork seed
+        # consumer's budget is centimetres). HIGHEST (6-pass) measured
+        # ~1.4 ms/item at Z=128 — 6x the kernel's own roofline.
+        out[kk] = out[kk] + jax.lax.dot_general(
+            oh_a, oh_b * w[kk:kk + 1], dimension_numbers=(((1,), (1,)),
+                                                          ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("a_pad", "b_pad", "interpret"))
+def cross_histogram(ids_a: jnp.ndarray, ids_b: jnp.ndarray,
+                    weights: jnp.ndarray, a_pad: int, b_pad: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Weighted 2-D histogram: out[k, a, b] = sum over i with ids_a[i]==a
+    and ids_b[i]==b of weights[k, i].
+
+    The TPU kernel builds BOTH one-hots per tile in VMEM and contracts on
+    the MXU — this is what replaces the Patchwork seed-stage N-sort: the
+    per-(patch, z-bin) count/z-sum histogram costs one pass over N instead
+    of a ~2 ms key sort (tools/microbench_ops.py). ids outside [0, a_pad)
+    or [0, b_pad) are dropped. weights must be NaN-free (a NaN anywhere
+    poisons the whole output through the contraction).
+    """
+    k, n = weights.shape
+    if not (jax.default_backend() == "tpu" or interpret) or n % _TH != 0:
+        oh_a = (ids_a[:, None] == jnp.arange(a_pad)[None, :]
+                ).astype(jnp.float32)
+        oh_b = (ids_b[:, None] == jnp.arange(b_pad)[None, :]
+                ).astype(jnp.float32)
+        return jnp.einsum("na,kn,nb->kab", oh_a, weights, oh_b,
+                          precision=jax.lax.Precision.HIGHEST)
+    grid = (n // _TH,)
+    return pl.pallas_call(
+        functools.partial(_hist_kernel, a_pad, b_pad),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _TH), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _TH), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k, _TH), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((k, a_pad, b_pad), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, a_pad, b_pad), jnp.float32),
+        compiler_params=_BIG_VMEM,
+        interpret=interpret,
+    )(ids_a[None, :], ids_b[None, :], weights)
+
+
+def _moment_rows(chan):
+    """(10, T) Patchwork plane-fit moment channels from (5, T) [x, y, z,
+    px, py] (pz = z; patch-relative x/y, see preprocessing/patchwork.py)."""
+    px, py, pz = chan[3:4], chan[4:5], chan[2:3]
+    one = jnp.ones_like(px)
+    return jnp.concatenate([one, px, py, pz,
+                            px * px, px * py, px * pz,
+                            py * py, py * pz, pz * pz], axis=0)
+
+
+def _lookup_member(ids, chan, tab, p_cnt, oh16):
+    """Shared math of the fused Patchwork kernels: deliver the per-patch
+    plane table to points ((p_pad, 5) tab x (p_pad, T) bf16 one-hot,
+    split-bf16) and evaluate membership. Returns (proj, th, flags_f,
+    member), (1, T)."""
+    vals = _lookup_dot(oh16, tab)
+    proj = (vals[0:1] * chan[0:1] + vals[1:2] * chan[1:2]
+            + vals[2:3] * chan[2:3])
+    member = (ids < p_cnt) & (proj < vals[3:4])
+    return proj, vals[3:4], vals[4:5], member
+
+
+def _fit_kernel(p_pad: int, p_cnt: int, ids, chan, tab, out):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    oh = _oh_tile(ids, p_pad, jnp.bfloat16)       # (P, T)
+    _, _, _, member = _lookup_member(ids[:], chan[:], tab[:], p_cnt, oh)
+    mom = _moment_rows(chan[:]) * member.astype(jnp.float32)   # (10, T)
+    out[:] = out[:] + _split_dot_oh_vals(
+        oh, mom, (((1,), (1,)), ((), ())))
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "interpret"))
+def fit_iteration_moments(ids: jnp.ndarray, chan: jnp.ndarray,
+                          tab: jnp.ndarray, p_pad: int, p_cnt: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """One fused Patchwork plane-fit iteration: deliver the per-patch
+    plane table [n1, n2, n3, th, _] to points, evaluate membership
+    (proj = n.p < th, ids < p_cnt), and segment-sum the 10 weighted moment
+    channels — all inside one kernel, so neither the (5, N) delivered
+    values nor the (10, N) moment channels ever exist in HBM.
+
+    ids: (N,) int32; chan: (5, N) f32 [x, y, z, px, py] (NaN-free);
+    tab: (p_pad, 5) f32 with zero rows beyond p_cnt. Returns (p_pad, 10).
+    """
+    _, n = chan.shape
+    if not (jax.default_backend() == "tpu" or interpret) or n % _TF != 0:
+        vals = table_lookup(ids, tab)              # (5, N)
+        proj = vals[0] * chan[0] + vals[1] * chan[1] + vals[2] * chan[2]
+        member = (ids < p_cnt) & (proj < vals[3])
+        mom = _moment_rows(chan) * member[None, :].astype(jnp.float32)
+        return segment_sums(ids, mom, p_pad)
+    grid = (n // _TF,)
+    return pl.pallas_call(
+        functools.partial(_fit_kernel, p_pad, p_cnt),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _TF), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((5, _TF), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p_pad, 5), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((p_pad, 10), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 10), jnp.float32),
+        compiler_params=_BIG_VMEM,
+        interpret=interpret,
+    )(ids[None, :], chan, tab)
+
+
+def _code_from(ids_row, proj, th, flags_f, p_cnt):
+    fl = (flags_f + 0.5).astype(jnp.int32)
+    valid = ids_row < p_cnt
+    live = valid & ((fl & 8) > 0)
+    isg = proj < th
+    g = live & ((fl & 1) > 0) & isg
+    ng = live & ~g
+    rev = live & ((fl & 2) > 0) & isg
+    rej = live & ((fl & 4) > 0) & isg
+    return (g.astype(jnp.int32) + 2 * ng.astype(jnp.int32)
+            + 4 * rev.astype(jnp.int32) + 8 * rej.astype(jnp.int32))
+
+
+def _classify_kernel(p_pad: int, p_cnt: int, ids, chan, tab, out):
+    oh = _oh_tile(ids, p_pad, jnp.bfloat16)
+    proj, th, flags_f, _ = _lookup_member(ids[:], chan[:], tab[:], p_cnt,
+                                          oh)
+    out[:] = _code_from(ids[:], proj, th, flags_f, p_cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "interpret"))
+def classify_points(ids: jnp.ndarray, chan: jnp.ndarray, tab: jnp.ndarray,
+                    p_pad: int, p_cnt: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused final Patchwork classification: deliver [n1, n2, n3, th,
+    flags] and emit one int32 code per point (bit0 ground, bit1 nonground,
+    bit2 reverted, bit3 rejected — 0 for dropped/invalid). Replaces the
+    final (5, N) delivery + host-side flag unpack with a (N,) int32 output.
+    """
+    _, n = chan.shape
+    if not (jax.default_backend() == "tpu" or interpret) or n % _TF != 0:
+        vals = table_lookup(ids, tab)
+        proj = vals[0] * chan[0] + vals[1] * chan[1] + vals[2] * chan[2]
+        return _code_from(ids, proj, vals[3], vals[4], p_cnt)
+    grid = (n // _TF,)
+    out = pl.pallas_call(
+        functools.partial(_classify_kernel, p_pad, p_cnt),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, _TF), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((5, _TF), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((p_pad, 5), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _TF), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        compiler_params=_BIG_VMEM,
+        interpret=interpret,
+    )(ids[None, :], chan, tab)
+    return out[0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -130,5 +365,63 @@ def table_lookup(ids: jnp.ndarray, tab: jnp.ndarray,
         out_specs=pl.BlockSpec((k, _T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n), jnp.float32),
+        compiler_params=_BIG_VMEM,
         interpret=interpret,
     )(ids[None, :], tab)
+
+
+def _imglookup_kernel(rows: int, cols: int, t: int, ids, img, out):
+    # per-point image read v[i] = img[ids[i] // cols, ids[i] % cols] as two
+    # one-hot contractions: M = ohr^T @ img gives each point its ROW of the
+    # image; the col one-hot then selects elementwise (no MXU gather).
+    r = ids[:] // cols                                  # (1, T)
+    c = ids[:] - r * cols
+    ohr = (r == jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0)).astype(jnp.bfloat16)  # (R, T)
+    # split-exact contraction (img carries >bf16-mantissa int words)
+    m = None
+    rem = img[:]
+    for _ in range(3):
+        part = rem.astype(jnp.bfloat16)
+        rem = rem - part.astype(jnp.float32)
+        d = jax.lax.dot_general(ohr, part,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = d if m is None else m + d                   # (T, C)
+    ohc = (c.reshape(t, 1) == jax.lax.broadcasted_iota(
+        jnp.int32, (1, cols), 1)).astype(jnp.float32)   # (T, C)
+    out[:] = jnp.sum(m * ohc, axis=1)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols", "interpret"))
+def image_lookup(flat_ids: jnp.ndarray, img: jnp.ndarray, rows: int,
+                 cols: int, interpret: bool = False) -> jnp.ndarray:
+    """out[i] = img[flat_ids[i]] for an (rows*cols,) f32 image table.
+
+    The factored one-hot replacement for an N-sized `jnp.take` from an
+    image-sized table (measured ~1.4 ms/cloud at N=131k, npix=115200 —
+    the single most expensive op left in the projection stage): one
+    (rows, T) row-one-hot contraction hands every point its image row,
+    and a (T, cols) col-one-hot selects within it on the VPU. Values are
+    reconstructed split-exact, so integer words up to 2^24 survive.
+    flat_ids must lie in [0, rows*cols).
+    """
+    n = flat_ids.shape[0]
+    t = 1024
+    if not (jax.default_backend() == "tpu" or interpret) or n % t != 0:
+        return jnp.take(img.reshape(-1), flat_ids)
+    grid = (n // t,)
+    out = pl.pallas_call(
+        functools.partial(_imglookup_kernel, rows, cols, t),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, t), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows, cols), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, t), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+        compiler_params=_BIG_VMEM,
+        interpret=interpret,
+    )(flat_ids[None, :], img.reshape(rows, cols).astype(jnp.float32))
+    return out[0]

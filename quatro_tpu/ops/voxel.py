@@ -8,10 +8,11 @@ TPU-native design (round 3 v2, movement-minimized): every N-sized irregular
 op (sort operand, scatter, top_k) costs milliseconds per cloud at batch 64
 (tools/microbench_ops.py), so the whole stage is TWO lean sorts and scans:
 
-  1. one 3-operand ``lax.sort`` over a 30-bit voxel key carrying the
-     corner-relative fractional coordinates PACKED as 16-bit fixed point
-     (two int32 payloads instead of four f32 ones; 7.6e-6-leaf
-     quantization, orders below the documented ~1e-2-leaf f32 budget);
+  1. one 2-operand ``lax.sort`` over a 30-bit voxel key carrying the
+     corner-relative fractional coordinates PACKED as 10-bit fixed point
+     (ONE int32 payload instead of four f32 ones; ~1e-3-leaf
+     quantization = 0.3 mm at the 0.3 m leaf, an order below the
+     documented ~1e-2-leaf f32 budget);
   2. run-length bookkeeping (per-voxel counts, run starts) via compare /
      cumsum / flipped-cummin scans — regular memory access only;
   3. per-voxel centroid sums via global cumsum DIFFERENCES at run
@@ -38,7 +39,7 @@ import jax.numpy as jnp
 # outside are dropped (pathological clouds only).
 _BITS = 10
 _GRID = 1 << _BITS
-_FBITS = 16                      # fraction fixed-point bits
+_FBITS = 10                      # fraction fixed-point bits
 _FSCALE = float(1 << _FBITS)
 _CBITS = 14                      # clamped occupancy bits in the rank key
 _PBITS = 17                      # position bits in the rank key
@@ -80,28 +81,27 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     sentinel = jnp.iinfo(jnp.int32).max
     key = jnp.where(in_grid, key, sentinel)  # invalid last
 
-    # Corner-relative fractions in leaf units, 16-bit fixed point, packed
-    # into two int32 payloads (fx|fy and fz).
+    # Corner-relative fractions in leaf units, 10-bit fixed point, packed
+    # into ONE 30-bit int32 payload (fx|fy|fz) — a 2-operand sort.
     fx = jnp.where(in_grid, (x - minb[0]) * inv - cx, 0.0)
     fy = jnp.where(in_grid, (y - minb[1]) * inv - cy, 0.0)
     fz = jnp.where(in_grid, (z - minb[2]) * inv - cz, 0.0)
-    # Clip in FLOAT before the integer cast: clipping after an unsigned
-    # cast cannot recover a negative, and negative-float->uint casts are
-    # backend-dependent (fx/fy/fz are >= 0 in exact f32, but the guard
-    # must actually guard).
+    # Clip in FLOAT before the integer cast: clipping after the cast
+    # cannot recover a negative (fx/fy/fz are >= 0 in exact f32, but the
+    # guard must actually guard).
     fmax = jnp.asarray(float((1 << _FBITS) - 1), dtype)
-    qx = jnp.clip(fx * _FSCALE, 0.0, fmax).astype(jnp.uint32)
-    qy = jnp.clip(fy * _FSCALE, 0.0, fmax).astype(jnp.uint32)
+    qx = jnp.clip(fx * _FSCALE, 0.0, fmax).astype(jnp.int32)
+    qy = jnp.clip(fy * _FSCALE, 0.0, fmax).astype(jnp.int32)
     qz = jnp.clip(fz * _FSCALE, 0.0, fmax).astype(jnp.int32)
-    pf1 = (qx << _FBITS) + qy            # 16+16 bits -> uint32
-    pf2 = qz
+    pf = (qx << (2 * _FBITS)) + (qy << _FBITS) + qz
 
-    key_s, pf1_s, pf2_s = jax.lax.sort((key, pf1, pf2), num_keys=1)
+    key_s, pf_s = jax.lax.sort((key, pf), num_keys=1)
     valid_b = key_s != sentinel
     inv_fscale = jnp.asarray(1.0 / _FSCALE, dtype)
-    fx_s = ((pf1_s >> _FBITS).astype(dtype) + 0.5) * inv_fscale
-    fy_s = ((pf1_s & ((1 << _FBITS) - 1)).astype(dtype) + 0.5) * inv_fscale
-    fz_s = (pf2_s.astype(dtype) + 0.5) * inv_fscale
+    fmask = (1 << _FBITS) - 1
+    fx_s = ((pf_s >> (2 * _FBITS)).astype(dtype) + 0.5) * inv_fscale
+    fy_s = (((pf_s >> _FBITS) & fmask).astype(dtype) + 0.5) * inv_fscale
+    fz_s = ((pf_s & fmask).astype(dtype) + 0.5) * inv_fscale
     vf = valid_b.astype(dtype)
     fx_s, fy_s, fz_s = fx_s * vf, fy_s * vf, fz_s * vf
 
@@ -109,9 +109,9 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     is_new = jnp.concatenate([jnp.ones(1, bool),
                               key_s[1:] != key_s[:-1]]) & valid_b
     start_pos = jnp.where(is_new, pos, n)
-    next_start = jnp.flip(jax.lax.cummin(jnp.flip(
+    next_start = jax.lax.cummin(
         jnp.where(jnp.concatenate([is_new[1:], jnp.ones(1, bool)]),
-                  pos + 1, n))))
+                  pos + 1, n), reverse=True)
     run_len = jnp.where(is_new, next_start - start_pos, 0)
 
     # top-`capacity` voxels by occupancy via ONE packed 1-op sort:
@@ -129,9 +129,8 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     starts_top = jnp.where(got, sel & ((1 << _PBITS) - 1), 0)
     counts_top = jnp.where(got, jnp.take(run_len, starts_top), 0)
 
-    csx = jnp.cumsum(fx_s)
-    csy = jnp.cumsum(fy_s)
-    csz = jnp.cumsum(fz_s)
+    # one 3-row cumsum pass instead of three N-sized scans
+    cs3 = jnp.cumsum(jnp.stack([fx_s, fy_s, fz_s]), axis=1)
 
     def run_sum(cs):
         ends = starts_top + counts_top            # exclusive end
@@ -147,9 +146,9 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     ky = ((kk >> _BITS) & (_GRID - 1)).astype(dtype)
     kz = (kk & (_GRID - 1)).astype(dtype)
     leaf = jnp.asarray(voxel_size, dtype)
-    ox = minb[0] + (kx + run_sum(csx) / cnt) * leaf
-    oy = minb[1] + (ky + run_sum(csy) / cnt) * leaf
-    oz = minb[2] + (kz + run_sum(csz) / cnt) * leaf
+    ox = minb[0] + (kx + run_sum(cs3[0]) / cnt) * leaf
+    oy = minb[1] + (ky + run_sum(cs3[1]) / cnt) * leaf
+    oz = minb[2] + (kz + run_sum(cs3[2]) / cnt) * leaf
 
     if k < capacity:
         pad = capacity - k

@@ -237,95 +237,92 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     valid = in_czm                      # pid < p_cnt exactly when in_czm
     pid = jnp.where(valid, patch_id, p_cnt)
 
-    # --- per-patch segment sums / attribute delivery on the MXU ------------
-    # (Pallas kernels that generate each one-hot tile inside VMEM — a
-    # materialized (N, p_pad) one-hot would be ~21 GB across a production
-    # batch; ops/segment_matmul.py. XLA-einsum fallback off-TPU.)
-    from quatro_tpu.ops.segment_matmul import segment_sums, table_lookup
+    # Fused Pallas kernels (XLA-einsum fallbacks off-TPU): the seed stage
+    # is a per-(patch, z-bin) histogram, each plane-fit iteration is ONE
+    # kernel (table delivery + membership + moment segment-sums fused so
+    # neither the delivered values nor the moment channels touch HBM), and
+    # the final classification emits one int32 code per point. Zero
+    # N-sized irregular ops remain in this function (round 4; the round-3
+    # version still carried one ~2 ms key sort for the seeds).
+    from quatro_tpu.ops.segment_matmul import (classify_points,
+                                               cross_histogram,
+                                               fit_iteration_moments)
 
-    def seg_sums(chan_kn):
-        """Per-patch sums of (K, N) channels -> (P, K)."""
-        return segment_sums(pid, chan_kn, p_pad)[:p_cnt]
-
-    def deliver(tab_pk):
-        """Per-patch (P, K) table -> per-point (K, N) values."""
-        tab = jnp.zeros((p_pad, tab_pk.shape[1]), jnp.float32
-                        ).at[:p_cnt].set(tab_pk.astype(jnp.float32))
-        return table_lookup(pid, tab)
-
-    # --- seed stage: the ONLY irregular N-op is a 1-operand key sort --------
-    # (the num_lpr LOWEST-z eligible points per patch need a z-order)
-    zmin = jnp.min(jnp.where(keep, z, jnp.inf))
-    zspan = jnp.maximum(jnp.max(jnp.where(keep, z, -jnp.inf)) - zmin, 1e-6)
-    zscale = ((1 << _ZBITS) - 1) / zspan
-    zq = jnp.clip((z - zmin) * zscale, 0, (1 << _ZBITS) - 1).astype(jnp.int32)
-    zq = jnp.where(jnp.isfinite(z) & keep, zq, 0)
-    key = (pid << _ZBITS) + zq
-    (key_s,) = jax.lax.sort((key,), num_keys=1)
-    pid_s = key_s >> _ZBITS
-    valid_s = pid_s < p_cnt
-    z_s = zmin + (key_s & ((1 << _ZBITS) - 1)).astype(dtype) / zscale
-
-    starts = jnp.searchsorted(pid_s, jnp.arange(p_cnt + 1, dtype=jnp.int32)
-                              ).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
-    patch_live = counts > cfg.num_min_pts  # strict >, patchwork.hpp:386
-
-    # LPR seeds without any scan over runs (associative scans measured
-    # ~2-3 ms/cloud each at batch 64 and caused a 30-vs-38 pairs/s
-    # regression): zone-0 points below the adaptive margin are INELIGIBLE,
-    # and because z rides in the sort key they form a PREFIX of each
-    # zone-0 run — so the eligible region of patch p is
-    # [estart[p], starts[p+1]) where estart comes from one more
-    # searchsorted on the composite key, and the num_lpr lowest eligible
-    # z's sum is a boundary difference of one (two-level, precision-safe)
-    # cumsum of the decoded z.
-    margin = (cfg.adaptive_seed_selection_margin * cfg.sensor_height
-              if cfg.sensor_height != 0.0 else -0.1)
-    zone0_end = int(cfg.num_rings_each_zone[0]
-                    * cfg.num_sectors_each_zone[0])
-    mq = jnp.clip(jnp.ceil((jnp.asarray(margin, dtype) - zmin) * zscale),
-                  0, (1 << _ZBITS) - 1).astype(jnp.int32)
-    estart0 = jnp.searchsorted(
-        key_s, (jnp.arange(zone0_end, dtype=jnp.int32) << _ZBITS) + mq
-        ).astype(jnp.int32)
-    estart = jnp.concatenate([estart0, starts[zone0_end:p_cnt]])
-    avail = jnp.maximum(starts[1:] - estart, 0)
-    lpr_cnt = jnp.minimum(avail, cfg.num_lpr)
-    zcs = _blocked_cumsum(z_s * valid_s.astype(dtype))
-    hi_i = jnp.clip(estart + lpr_cnt - 1, 0, n - 1)
-    lo = jnp.where(estart > 0, zcs[jnp.maximum(estart - 1, 0)], 0.0)
-    zsum = jnp.where(lpr_cnt > 0, zcs[hi_i] - lo, 0.0)
-    lpr_h = jnp.where(lpr_cnt > 0,
-                      zsum / jnp.maximum(lpr_cnt, 1).astype(dtype), 0.0)
-
-    # --- input-order machinery from here on ---------------------------------
-    thr_pt = deliver((lpr_h + cfg.th_seeds)[:, None])[0]
-    member = valid & (z < thr_pt)
-
-    # patch-relative coordinates (elementwise; no table lookups)
+    # --- per-point channels (sanitized: a NaN anywhere poisons the MXU
+    # contractions through 0 * NaN) ------------------------------------------
     pcx, pcy = _patch_center_of_point(jnp.minimum(pid, p_cnt - 1), cfg,
                                       dtype)
-    px = jnp.where(valid, x - pcx, 0.0)
-    py = jnp.where(valid, y - pcy, 0.0)
-    pz = jnp.where(valid, z, 0.0)
+    finite = jnp.isfinite(x) & jnp.isfinite(y) & jnp.isfinite(z)
+    ok = valid & finite
+    x_c = jnp.where(ok, x, 0.0)
+    y_c = jnp.where(ok, y, 0.0)
+    z_c = jnp.where(ok, z, 0.0)
+    px = jnp.where(ok, x - pcx, 0.0)
+    py = jnp.where(ok, y - pcy, 0.0)
+    chan = jnp.stack([x_c, y_c, z_c, px, py], axis=0).astype(jnp.float32)
+    pid = jnp.where(ok, pid, p_cnt)
     center_x_np, center_y_np = _patch_centers(cfg)
     center_x = jnp.asarray(center_x_np, dtype)
     center_y = jnp.asarray(center_y_np, dtype)
 
     zones_np, rings_np, conc_np, elev_np, flat_np = _patch_metadata(cfg)
 
-    # --- iterative plane fit: moment matmuls + delivery matmuls -------------
+    # --- seed stage: margin-anchored (patch, z-bin) histogram ---------------
+    # (reference seeds = mean of the num_lpr lowest eligible z per patch,
+    # include/patchwork.hpp:283-318; zone-0 excludes z below the adaptive
+    # margin). Bin edges are ANCHORED AT THE MARGIN so zone-0 eligibility
+    # is exact at bin granularity; the num_lpr cut inside the boundary bin
+    # approximates those points by the bin's own mean z (error <= bin
+    # width / num_lpr per seed height; Z=128 bins over the cloud's z-span
+    # ~= 8 cm bins on KITTI-scale scans, well under th_seeds=0.5 — the
+    # round-3 sort path already quantized z, just finer).
+    zbins = 128
+    zmin = jnp.min(jnp.where(keep, z, jnp.inf))
+    zmax = jnp.max(jnp.where(keep, z, -jnp.inf))
+    zspan = jnp.maximum(zmax - zmin, 1e-6)
+    binw = zspan / zbins
+    margin = (cfg.adaptive_seed_selection_margin * cfg.sensor_height
+              if cfg.sensor_height != 0.0 else -0.1)
+    zone0_end = int(cfg.num_rings_each_zone[0]
+                    * cfg.num_sectors_each_zone[0])
+    b0 = jnp.clip(jnp.ceil((jnp.asarray(margin, dtype) - zmin) / binw),
+                  0, zbins).astype(jnp.int32)
+    zb = jnp.clip((jnp.floor((z_c - margin) / binw)).astype(jnp.int32) + b0,
+                  0, zbins - 1)
+    okf = ok.astype(jnp.float32)
+    hist = cross_histogram(pid, zb,
+                           jnp.stack([okf, z_c.astype(jnp.float32) * okf]),
+                           p_pad, zbins)
+    cnt_h = hist[0, :p_cnt]                       # (P, Z)
+    zsum_h = hist[1, :p_cnt]
+    counts = jnp.sum(cnt_h, axis=1)
+    patch_live = counts > cfg.num_min_pts  # strict >, patchwork.hpp:386
+
+    is_zone0 = jnp.arange(p_cnt) < zone0_end
+    elig = ~(is_zone0[:, None] & (jnp.arange(zbins)[None, :] < b0))
+    cnt_e = cnt_h * elig
+    zsum_e = zsum_h * elig
+    cc = jnp.cumsum(cnt_e, axis=1)
+    avail = cc[:, -1]
+    need = jnp.minimum(avail, float(cfg.num_lpr))
+    take = jnp.clip(need[:, None] - (cc - cnt_e), 0.0, cnt_e)
+    lpr_sum = jnp.sum(take * zsum_e / jnp.maximum(cnt_e, 1.0), axis=1)
+    lpr_h = jnp.where(need > 0, lpr_sum / jnp.maximum(need, 1.0), 0.0)
+
+    def plane_tab(n1, n2, n3, th, flags):
+        """(p_pad, 5) f32 delivery table, zero rows beyond p_cnt."""
+        t = jnp.stack([n1, n2, n3, th, flags], axis=-1).astype(jnp.float32)
+        return jnp.zeros((p_pad, 5), jnp.float32).at[:p_cnt].set(t)
+
+    zeros_p = jnp.zeros((p_cnt,), jnp.float32)
+    tab = plane_tab(zeros_p, zeros_p, jnp.ones((p_cnt,), jnp.float32),
+                    lpr_h + cfg.th_seeds, zeros_p)   # member: z < seed thr
+
+    # --- iterative plane fit: one fused kernel per iteration ----------------
     # (include/patchwork.hpp:545-586; covariance on patch-relative offsets)
     nrm = th_dist_d = elevation = surface_var = None
-    proj_pt = th_pt = None
-    fl_pt = None
     for it in range(cfg.num_iter):
-        w = member.astype(dtype)
-        mom = jnp.stack([w, w * px, w * py, w * pz,
-                         w * px * px, w * px * py, w * px * pz,
-                         w * py * py, w * py * pz, w * pz * pz], axis=0)
-        S = seg_sums(mom).T                     # (10, P)
+        S = fit_iteration_moments(pid, chan, tab, p_pad, p_cnt)[:p_cnt].T
         cnt = jnp.maximum(S[0], 1.0)
         mx_r, my_r, mz_r = S[1] / cnt, S[2] / cnt, S[3] / cnt
         cxx = S[4] / cnt - mx_r * mx_r
@@ -359,10 +356,7 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
         nrm = (n1, n2, n3)
 
         if it + 1 < cfg.num_iter:
-            vals = deliver(jnp.stack([n1, n2, n3, th_dist_d], axis=-1))
-            proj_pt = vals[0] * x + vals[1] * y + vals[2] * z
-            th_pt = vals[3]
-            member = valid & (proj_pt < th_pt)
+            tab = plane_tab(n1, n2, n3, th_dist_d, zeros_p)
         else:
             # final iteration: fold the gate flags into the same delivery
             upright = jnp.abs(n3) >= cfg.uprightness_thr
@@ -382,23 +376,18 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
             # revert/reject bookkeeping (patchwork.hpp:410-426)
             revert_patch = patch_live & upright & near & high & flat_ok
             reject_patch = patch_live & upright & near & high & ~flat_ok
-            flags_p = (accepted.astype(dtype)
-                       + 2 * revert_patch.astype(dtype)
-                       + 4 * reject_patch.astype(dtype)
-                       + 8 * patch_live.astype(dtype))
-            vals = deliver(jnp.stack(
-                [n1, n2, n3, th_dist_d, flags_p], axis=-1))
-            proj_pt = vals[0] * x + vals[1] * y + vals[2] * z
-            th_pt = vals[3]
-            fl_pt = (vals[4] + 0.5).astype(jnp.int32)  # exact small ints
+            flags_p = (accepted.astype(jnp.float32)
+                       + 2 * revert_patch.astype(jnp.float32)
+                       + 4 * reject_patch.astype(jnp.float32)
+                       + 8 * patch_live.astype(jnp.float32))
+            tab = plane_tab(n1, n2, n3, th_dist_d, flags_p)
 
-    # --- per-point classification (input order — no sort-back needed) -------
-    live_pt = valid & ((fl_pt & 8) > 0)
-    is_ground_pt = proj_pt < th_pt
-    ground = live_pt & ((fl_pt & 1) > 0) & is_ground_pt
-    nonground = live_pt & ~ground
-    reverted = live_pt & ((fl_pt & 2) > 0) & is_ground_pt
-    rejected = live_pt & ((fl_pt & 4) > 0) & is_ground_pt
+    # --- fused per-point classification (input order; one int32/point) ------
+    code = classify_points(pid, chan, tab, p_pad, p_cnt)
+    ground = (code & 1) > 0
+    nonground = (code & 2) > 0
+    reverted = (code & 4) > 0
+    rejected = (code & 8) > 0
     dropped = mask & ~ground & ~nonground
     patch_normal = jnp.stack([nrm[0], nrm[1], nrm[2]], axis=-1)
     return PatchworkResult(ground, nonground, dropped, patch_normal,

@@ -136,17 +136,28 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
     TPU redesign (round 3): the former pointer-jumping step gathered the
     full (R*C,) label image twice per iteration, and the per-component
     stats ran 64 scatter passes — together ~90 ms/cloud of pure
-    random-access latency. Replaced by (a) ROLL-DOUBLING directional
-    sweeps: along each neighbor offset d, a segmented min-propagation
-    whose reach doubles per step (best = min(best, roll(best, -s*d)) where
-    the composed connectivity gate G_{2s} = G_s & roll(G_s, -s*d)) — pure
-    lane rotations, log2(path length) steps, no gathers; and (b) ONE sort
-    of the pixels by (label, row) with scan-based run statistics for the
-    size / distinct-line feasibility gate.
+    random-access latency. Replaced by ROLL-DOUBLING directional sweeps:
+    along each neighbor offset d, a segmented min-propagation whose reach
+    doubles per step (best = min(best, roll(best, -s*d)) where the
+    composed connectivity gate G_{2s} = G_s & roll(G_s, -s*d)) — pure
+    lane rotations, log2(path length) steps, no gathers.
+
+    Per-component stats: one (label-major, row-minor) key sort, then
+    run-length scans. Because every neighbor mode has |dr| <= 1, a
+    connected component's row set is a contiguous interval, so
+    distinct-line count == rmax - rmin + 1 exactly (first/last row of the
+    sorted run), replacing the round-3 per-(label, row)-pair scan. Two
+    measured round-4 dead ends, for the record: (a) carrying a second
+    min-channel for rmax through the sweep loop doubled the loop's live
+    set and ran 2.6x slower end-to-end; (b) scatter-add/scatter-max
+    component stats cost ~2.5 ms/cloud MORE than this sort+scan form —
+    image-sized sorts are ~0.16 ms/operand while every scatter is ~1.5 ms.
     """
     rows, cols = rimg.shape
     npix = rows * cols
     theta = jnp.deg2rad(cfg.segment_theta_deg)
+    assert all(abs(dr) <= 1 for dr, _ in cfg.neighbor_offsets), \
+        "line-count-as-row-span requires |dr| <= 1 neighbor offsets"
 
     edges = [(_neighbor_edges(rimg, valid, dr, dc, lidar, theta), dr, dc)
              for dr, dc in cfg.neighbor_offsets]
@@ -193,27 +204,34 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
         cond, body, (labels0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
 
     # --- per-component stats: one sort by (label, row), then scans ----------
+    # (measured: scatter-add/scatter-max stats cost ~2.5 ms/cloud more
+    # than this sort+scan form — TPU sorts are ~0.16 ms per operand at
+    # this size while every scatter is ~1.5 ms; the round-3 design stands.
+    # The |dr| <= 1 row-contiguity shortcut is kept for `lines`: distinct
+    # rows == rmax - rmin + 1, so only the label-major sort remains and
+    # the (label, row)-pair scan is unnecessary.)
     row_of = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0).reshape(-1)
     lab_flat = jnp.where(valid, labels, npix).reshape(-1)
     key = lab_flat * rows + row_of          # label-major, row-minor
     pix_iota = jnp.arange(npix, dtype=jnp.int32)
     key_s, pix_s = jax.lax.sort((key, pix_iota), num_keys=1)
     lab_s = key_s // rows
+    row_s = key_s - lab_s * rows
 
     pos = pix_iota
     new_lab = jnp.concatenate([jnp.ones(1, bool), lab_s[1:] != lab_s[:-1]])
-    new_pair = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
     last_lab = jnp.concatenate([new_lab[1:], jnp.ones(1, bool)])
 
     start = jax.lax.cummax(jnp.where(new_lab, pos, 0))
-    next_start = jnp.flip(jax.lax.cummin(jnp.flip(
-        jnp.where(last_lab, pos + 1, npix))))
+    next_start = jax.lax.cummin(jnp.where(last_lab, pos + 1, npix),
+                                reverse=True)
     size = next_start - start
-    c = jnp.cumsum(new_pair.astype(jnp.int32))
-    c_at_start = jax.lax.cummax(jnp.where(new_lab, c, 0))
-    c_at_end = jnp.flip(jax.lax.cummin(jnp.flip(
-        jnp.where(last_lab, c, jnp.iinfo(jnp.int32).max))))
-    lines = c_at_end - c_at_start + 1
+    # rows are contiguous per component (|dr| <= 1): lines = span + 1,
+    # and within a run the sort is row-minor so first/last give min/max.
+    rmin = jax.lax.cummax(jnp.where(new_lab, row_s, 0))
+    rmax = jax.lax.cummin(jnp.where(last_lab, row_s,
+                                    jnp.iinfo(jnp.int32).max), reverse=True)
+    lines = rmax - rmin + 1
 
     feas_s = (size >= cfg.min_pts_for_subcluster) | (
         (size >= cfg.segment_valid_point_num)
@@ -223,9 +241,9 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
     # per-pixel feasibility back to image order (sort by carried index)
     _, feas_img = jax.lax.sort((pix_s, feas_s.astype(jnp.int32)), num_keys=1)
     pix_feasible = (feas_img.reshape(rows, cols) > 0) & valid
-    # per-label feasibility (one scatter at component-run starts)
-    scat_idx = jnp.where(new_lab, jnp.minimum(lab_s, npix), npix)
-    feasible = jnp.zeros((npix + 1,), bool).at[scat_idx].set(feas_s)[:npix]
+    # per-label feasibility: component l's root pixel IS flat position l
+    feasible = (pix_feasible.reshape(-1)
+                & (lab_flat == jnp.arange(npix, dtype=jnp.int32)))
 
     labels_out = jnp.where(valid, labels, -1)
     return labels_out, feasible, pix_feasible
@@ -271,17 +289,21 @@ def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
     outlier_pix = cluster_valid & ~pix_feasible
 
     n = points.shape[0]
-    # Deliver pixel classes to points by ONE packed gather instead of an
-    # N-sized scatter: each point reads its own pixel's (code | owner idx)
-    # word and keeps the code only if IT is the owner — same owner-only
-    # semantics, one irregular op instead of one scatter (+ the word also
-    # rides ownership, so no separate owner read).
+    # Deliver pixel classes to points by ONE packed per-point image read:
+    # each point reads its own pixel's (code | owner idx) word and keeps
+    # the code only if IT is the owner — same owner-only semantics, no
+    # scatter. The read runs through the factored row/col one-hot kernel
+    # (ops/segment_matmul.py::image_lookup — an npix-table jnp.take
+    # measured ~1.4 ms/cloud, the costliest op left in this stage); the
+    # packed word is <= 2^19 so the split-exact f32 path is lossless.
+    from quatro_tpu.ops.segment_matmul import image_lookup
     code_pix = (valid_seg_pix.astype(jnp.int32)
                 + 2 * outlier_pix.astype(jnp.int32)
                 + 3 * ground_pix.astype(jnp.int32))
     packed_pix = jnp.where(occupied, (code_pix << _IBITS) + owner, -1)
     flat_c = jnp.minimum(flat, rows_n * cols_n - 1)
-    got = jnp.take(packed_pix.reshape(-1), flat_c)
+    got = image_lookup(flat_c, packed_pix.astype(jnp.float32),
+                       rows_n, cols_n).astype(jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
     is_owner = ok & ((got & ((1 << _IBITS) - 1)) == iota) & (got >= 0)
     codes = jnp.where(is_owner, got >> _IBITS, 0)

@@ -21,8 +21,11 @@ def test_voxel_downsample_centroids():
     out, omask = np.asarray(out), np.asarray(omask)
     assert omask.sum() == 2
     got = sorted(out[omask].tolist())
-    np.testing.assert_allclose(got[0], pts[:3].mean(0), atol=1e-5)
-    np.testing.assert_allclose(got[1], pts[3:].mean(0), atol=1e-5)
+    # centroid error bound = the 10-bit fraction quantization (ops/voxel.py
+    # packs corner fractions at 2^-10 leaf = ~1e-3 of the leaf, an order
+    # under the documented ~1e-2-leaf budget); leaf is 1.0 here.
+    np.testing.assert_allclose(got[0], pts[:3].mean(0), atol=1.5e-3)
+    np.testing.assert_allclose(got[1], pts[3:].mean(0), atol=1.5e-3)
 
 
 def test_voxel_downsample_respects_mask_and_capacity(rng):

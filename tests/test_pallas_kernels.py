@@ -61,6 +61,63 @@ def test_segment_sums_kernel_matches_numpy(rng):
     np.testing.assert_allclose(outv[1], ref, rtol=1e-5, atol=1e-4)
 
 
+def test_cross_histogram_kernel_matches_numpy(rng):
+    from quatro_tpu.ops.segment_matmul import _T, cross_histogram
+    n, a_pad, b_pad = _T, 640, 128
+    ia = rng.integers(0, a_pad + 9, size=n).astype(np.int32)   # incl. OOR
+    ib = rng.integers(0, b_pad, size=n).astype(np.int32)
+    w = rng.normal(size=(2, n)).astype(np.float32)
+    ref = np.zeros((2, a_pad, b_pad))
+    inr = ia < a_pad
+    for k in range(2):
+        np.add.at(ref[k], (ia[inr], ib[inr]), w[k][inr])
+    out = np.asarray(cross_histogram(jnp.asarray(ia), jnp.asarray(ib),
+                                     jnp.asarray(w), a_pad, b_pad,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_fit_iteration_and_classify_kernels_match_numpy(rng):
+    from quatro_tpu.ops.segment_matmul import (_T, classify_points,
+                                               fit_iteration_moments)
+    n, p_pad, p_cnt = _T, 640, 600
+    ids = rng.integers(0, p_cnt + 3, size=n).astype(np.int32)
+    chan = rng.normal(size=(5, n)).astype(np.float32)
+    tab = rng.normal(size=(p_pad, 5)).astype(np.float32)
+    tab[p_cnt:] = 0.0
+    vals = tab[np.minimum(ids, p_pad - 1)].T
+    proj = vals[0] * chan[0] + vals[1] * chan[1] + vals[2] * chan[2]
+    member = (ids < p_cnt) & (proj < vals[3])
+    px, py, pz = chan[3], chan[4], chan[2]
+    mom = np.stack([np.ones(n), px, py, pz, px * px, px * py, px * pz,
+                    py * py, py * pz, pz * pz]) * member
+    ref_m = np.zeros((p_pad, 10))
+    for k in range(10):
+        np.add.at(ref_m[:, k], ids, mom[k])
+    out_m = np.asarray(fit_iteration_moments(
+        jnp.asarray(ids), jnp.asarray(chan), jnp.asarray(tab), p_pad, p_cnt,
+        interpret=True))
+    np.testing.assert_allclose(out_m, ref_m, rtol=1e-4, atol=1e-3)
+
+    tabf = tab.copy()
+    tabf[:p_cnt, 4] = rng.integers(0, 16, p_cnt)
+    valsf = tabf[np.minimum(ids, p_pad - 1)].T
+    projf = valsf[0] * chan[0] + valsf[1] * chan[1] + valsf[2] * chan[2]
+    fl = (valsf[4] + 0.5).astype(np.int32)
+    valid = ids < p_cnt
+    live = valid & ((fl & 8) > 0)
+    isg = projf < valsf[3]
+    g = live & ((fl & 1) > 0) & isg
+    ng = live & ~g
+    rev = live & ((fl & 2) > 0) & isg
+    rej = live & ((fl & 4) > 0) & isg
+    ref_c = g * 1 + ng * 2 + rev * 4 + rej * 8
+    out_c = np.asarray(classify_points(jnp.asarray(ids), jnp.asarray(chan),
+                                       jnp.asarray(tabf), p_pad, p_cnt,
+                                       interpret=True))
+    np.testing.assert_array_equal(out_c, ref_c)
+
+
 def test_table_lookup_kernel_matches_numpy(rng):
     import jax
     from quatro_tpu.ops.segment_matmul import _T, table_lookup

@@ -81,6 +81,11 @@ def main():
     ap.add_argument("--queue-depth", type=int, default=8)
     ap.add_argument("--scan-dir", default=None,
                     help="directory of existing .bin scans (else synthetic)")
+    ap.add_argument("--window", type=int, default=0,
+                    help="windowed mode: buffer W frames and register W "
+                         "consecutive pairs in ONE batched device call "
+                         "(odometry.run_odometry_windowed); 0 = the "
+                         "frame-by-frame path")
     args = ap.parse_args()
 
     import jax
@@ -126,48 +131,85 @@ def main():
                 yield np.asarray(pb.points), np.asarray(pb.mask)
         return gen()
 
-    # ---- warm up both jitted programs (extract + register) --------------
-    _log("compiling extract + register programs (remote compile)...")
-    stream = make_stream()
-    it = iter(stream)
-    pts, mask = next(it)
-    f0 = runner.extract(PointBatch(jnp.asarray(pts), jnp.asarray(mask)))
-    sol0, *_ = runner._register(f0, f0)
-    jax.block_until_ready(sol0.rotation)
-    if hasattr(stream, "close"):
-        stream.close()
-    runner.reset()
-    _log("compiled; timing the streamed trajectory")
+    if args.window > 0:
+        # ---- windowed mode: 2 device calls per W frames ------------------
+        from quatro_tpu.odometry import run_odometry_windowed
+        _log(f"windowed mode W={args.window}: warming the two batched "
+             "programs (remote compile)...")
+        # warm-up: run one full window through the generator on the first
+        # W frames so both vmapped programs compile outside the timed run.
+        stream = make_stream()
+        it = iter(stream)
+        warm = [next(it) for _ in range(min(args.window, len(paths)))]
+        for _ in run_odometry_windowed(iter(warm), config,
+                                       window=args.window):
+            pass
+        if hasattr(stream, "close"):
+            stream.close()
+        _log("compiled; timing the streamed trajectory")
 
-    # ---- timed streamed run ---------------------------------------------
-    stream = make_stream()
-    sols = []
-    load_wait = 0.0
-    dispatch_time = 0.0
-    t_start = time.time()
-    it = iter(stream)
-    for k in range(len(paths)):
-        t0 = time.time()
-        try:
-            pts, mask = next(it)
-        except StopIteration:
-            break
-        t1 = time.time()
-        sol = runner.step(PointBatch(jnp.asarray(pts), jnp.asarray(mask)))
-        t2 = time.time()
-        load_wait += t1 - t0
-        dispatch_time += t2 - t1
-        if sol is not None:
-            sols.append(sol)
-    # clock closes on fetching every solution's validity + pose checksum
-    valid = int(sum(int(np.asarray(s.valid)) for s in sols))
-    chk = float(sum(float(np.asarray(jnp.sum(s.rotation) + jnp.sum(
-        s.translation))) for s in sols))
-    wall = time.time() - t_start
-    if hasattr(stream, "close"):
-        stream.close()
+        stream = make_stream()
+        sols = []
+        t_start = time.time()
+        for idx, sol, _ovl in run_odometry_windowed(stream, config,
+                                                    window=args.window):
+            if sol is not None:
+                sols.append(sol)
+        # windowed results are device_get'd inside the generator — the
+        # clock already covers every fetch
+        valid = int(sum(int(np.asarray(s.valid)) for s in sols))
+        chk = float(sum(float(np.asarray(s.rotation).sum()
+                              + np.asarray(s.translation).sum())
+                        for s in sols))
+        wall = time.time() - t_start
+        load_wait = float("nan")
+        dispatch_time = float("nan")
+        if hasattr(stream, "close"):
+            stream.close()
+        n_pairs = len(sols)
+    else:
+      # ---- warm up both jitted programs (extract + register) --------------
+      _log("compiling extract + register programs (remote compile)...")
+      stream = make_stream()
+      it = iter(stream)
+      pts, mask = next(it)
+      f0 = runner.extract(PointBatch(jnp.asarray(pts), jnp.asarray(mask)))
+      sol0, *_ = runner._register(f0, f0)
+      jax.block_until_ready(sol0.rotation)
+      if hasattr(stream, "close"):
+          stream.close()
+      runner.reset()
+      _log("compiled; timing the streamed trajectory")
 
-    n_pairs = len(sols)
+      # ---- timed streamed run ---------------------------------------------
+      stream = make_stream()
+      sols = []
+      load_wait = 0.0
+      dispatch_time = 0.0
+      t_start = time.time()
+      it = iter(stream)
+      for k in range(len(paths)):
+          t0 = time.time()
+          try:
+              pts, mask = next(it)
+          except StopIteration:
+              break
+          t1 = time.time()
+          sol = runner.step(PointBatch(jnp.asarray(pts), jnp.asarray(mask)))
+          t2 = time.time()
+          load_wait += t1 - t0
+          dispatch_time += t2 - t1
+          if sol is not None:
+              sols.append(sol)
+      # clock closes on fetching every solution's validity + pose checksum
+      valid = int(sum(int(np.asarray(s.valid)) for s in sols))
+      chk = float(sum(float(np.asarray(jnp.sum(s.rotation) + jnp.sum(
+          s.translation))) for s in sols))
+      wall = time.time() - t_start
+      if hasattr(stream, "close"):
+          stream.close()
+
+      n_pairs = len(sols)
     fps = n_pairs / wall
     result = {
         "metric": "streaming_trajectory_pairs_per_sec",
@@ -183,6 +225,7 @@ def main():
             "loader_wait_s": round(load_wait, 3),
             "dispatch_s": round(dispatch_time, 3),
             "loader_wait_frac": round(load_wait / wall, 4),
+            "window": args.window,
             "native_loader": use_native,
             "disk_mb": round(total_bytes / 1e6, 1),
             "points_per_scan_capacity": args.points,

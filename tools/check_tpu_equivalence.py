@@ -1,4 +1,4 @@
-"""On-chip equivalence check for the round-3 v4 front-end redesign.
+"""On-chip equivalence check for the Pallas front-end.
 
 CPU tests exercise segment_matmul's XLA-einsum fallback; the PALLAS path
 (one-hot tiles generated in VMEM) only runs on the real TPU. This tool
@@ -8,7 +8,15 @@ validates, on-chip:
   2. estimate_ground (Pallas segment kernels) vs the same call on CPU
      (einsum fallback) on a real raycast scan — identical gate decisions
      expected up to f32 matmul accumulation order;
-  3. segment_cloud + voxel_downsample TPU-vs-CPU mask agreement.
+  3. segment_cloud + voxel_downsample TPU-vs-CPU mask agreement, with a
+     cascade diagnostic: voxelizing the TPU points under the CPU's
+     segment mask shows how much of the voxel-count delta is downstream
+     fallout of boundary-pixel segmentation flips vs voxel-stage
+     divergence itself;
+  4. POSE-LEVEL gate (VERDICT r3 item 4): register_scan_pair on the same
+     fixture pair on both backends must agree to the STRICT accuracy
+     tier (rot < 1 deg, trans < 0.3 m) — the test that would catch a
+     real on-chip front-end bug regardless of mask-level jitter.
 
 Prints one JSON line; nonzero exit on failure.
 Usage: python tools/check_tpu_equivalence.py
@@ -46,6 +54,8 @@ from quatro_tpu.config import PipelineConfig
 from quatro_tpu.preprocessing.patchwork import estimate_ground
 from quatro_tpu.preprocessing.projection import segment_cloud
 from quatro_tpu.ops.voxel import voxel_downsample
+from quatro_tpu.pipeline import register_scan_pair
+from quatro_tpu.types import PointBatch
 z = np.load({os.path.join(ROOT, '.scan_cache', 'equiv_in.npz')!r})
 pts, m = jnp.asarray(z["pts"]), jnp.asarray(z["mask"])
 cfg = PipelineConfig()
@@ -53,11 +63,17 @@ pw = estimate_ground(pts, m, cfg.patchwork)
 proj = segment_cloud(pts, pw.nonground, cfg.lidar, cfg.projection)
 vox, vm = voxel_downsample(pts, proj.valid_segments, cfg.voxel_size,
                            cfg.max_voxels)
+res = register_scan_pair(PointBatch(pts, m),
+                         PointBatch(jnp.asarray(z["pts_b"]),
+                                    jnp.asarray(z["mask_b"])), cfg)
 np.savez({out!r}, ground=np.asarray(pw.ground),
          nonground=np.asarray(pw.nonground),
          accepted=np.asarray(pw.patch_accepted),
          seg=np.asarray(proj.valid_segments),
-         vox=np.asarray(vox), vm=np.asarray(vm))
+         vox=np.asarray(vox), vm=np.asarray(vm),
+         rot=np.asarray(res.solution.rotation),
+         tr=np.asarray(res.solution.translation),
+         valid=np.asarray(res.solution.valid))
 """
     subprocess.run([sys.executable, "-c", code], check=True,
                    cwd=ROOT, timeout=900)
@@ -98,17 +114,23 @@ def main():
     _log(f"kernels: seg rel err {seg_err:.2e}, lookup abs err {lut_err}")
 
     # --- 2/3. full front-end TPU vs CPU ------------------------------------
-    a, _, _ = make_scan_pair(seed=5, yaw_deg=30.0,
-                             translation=(2.5, -1.0, 0.05),
-                             cache_dir=os.path.join(ROOT, ".scan_cache"))
+    a, b, gt = make_scan_pair(seed=5, yaw_deg=30.0,
+                              translation=(2.5, -1.0, 0.05),
+                              cache_dir=os.path.join(ROOT, ".scan_cache"))
     n_cap = 131072
-    pts = np.zeros((n_cap, 3), np.float32)
-    k = min(len(a), n_cap)
-    pts[:k] = a[:k]
-    mask = np.zeros(n_cap, bool)
-    mask[:k] = True
+
+    def cap(arr):
+        p = np.zeros((n_cap, 3), np.float32)
+        k = min(len(arr), n_cap)
+        p[:k] = arr[:k]
+        m = np.zeros(n_cap, bool)
+        m[:k] = True
+        return p, m
+
+    pts, mask = cap(a)
+    pts_b, mask_b = cap(b)
     np.savez(os.path.join(ROOT, ".scan_cache", "equiv_in.npz"),
-             pts=pts, mask=mask)
+             pts=pts, mask=mask, pts_b=pts_b, mask_b=mask_b)
 
     cfg = PipelineConfig()
     jp, jm = jnp.asarray(pts), jnp.asarray(mask)
@@ -141,9 +163,51 @@ def main():
     # loosely bounded, not tightly gated.
     ok &= g_dis < 0.005 and acc_dis <= 2
     ok &= seg_dis < 0.05
+    # cascade diagnostic: voxel count from TPU's voxel stage under the
+    # CPU's segment mask — if this matches the CPU count, the voxel-count
+    # delta is entirely upstream segmentation jitter cascading, not
+    # voxel-stage divergence (VERDICT r3 item 4's "show which").
+    _, vm_x = voxel_downsample(jp, jnp.asarray(seg_c), cfg.voxel_size,
+                               cfg.max_voxels)
+    vox_cross = int(np.asarray(vm_x).sum())
+    report["vox_count_tpu_with_cpu_mask"] = vox_cross
+    vox_stage_delta = abs(vox_cross - int(vm_c.sum()))
+    report["vox_stage_only_delta"] = vox_stage_delta
+    ok &= vox_stage_delta <= max(0.01 * int(vm_c.sum()), 8)
     _log(f"ground disagree {g_dis:.4%}, gates {acc_dis}, "
          f"segments {seg_dis:.4%} (trig-jitter, informational), "
-         f"vox {int(vm_t.sum())}/{int(vm_c.sum())}")
+         f"vox {int(vm_t.sum())}/{int(vm_c.sum())} "
+         f"(TPU-voxels-on-CPU-mask: {vox_cross})")
+
+    # --- 4. pose-level gate: same pair, both backends ----------------------
+    from quatro_tpu.pipeline import register_scan_pair
+    from quatro_tpu.types import PointBatch
+    _log("registering the pair on TPU (full pipeline)...")
+    res_t = register_scan_pair(PointBatch(jp, jm),
+                               PointBatch(jnp.asarray(pts_b),
+                                          jnp.asarray(mask_b)), cfg)
+    rot_t = np.asarray(res_t.solution.rotation)
+    tr_t = np.asarray(res_t.solution.translation)
+    rot_c, tr_c = cpu["rot"], cpu["tr"]
+    cosang = np.clip((np.trace(rot_t @ rot_c.T) - 1) / 2, -1, 1)
+    pose_rot_err = float(np.degrees(np.arccos(cosang)))
+    pose_tr_err = float(np.linalg.norm(tr_t - tr_c))
+    report["pose_valid_tpu"] = bool(res_t.solution.valid)
+    report["pose_valid_cpu"] = bool(cpu["valid"])
+    report["pose_rot_err_deg"] = pose_rot_err
+    report["pose_trans_err_m"] = pose_tr_err
+    # both backends must also be CORRECT vs ground truth, not merely agree
+    rot_g, tr_g = gt[:3, :3], gt[:3, 3]
+    cosg = np.clip((np.trace(rot_t @ rot_g.T) - 1) / 2, -1, 1)
+    report["pose_vs_gt_rot_deg"] = float(np.degrees(np.arccos(cosg)))
+    report["pose_vs_gt_trans_m"] = float(np.linalg.norm(tr_t - tr_g))
+    ok &= bool(res_t.solution.valid) and bool(cpu["valid"])
+    ok &= pose_rot_err < 1.0 and pose_tr_err < 0.3
+    ok &= report["pose_vs_gt_rot_deg"] < 1.0
+    ok &= report["pose_vs_gt_trans_m"] < 0.3
+    _log(f"pose TPU-vs-CPU: {pose_rot_err:.4f} deg / {pose_tr_err:.4f} m; "
+         f"TPU-vs-GT: {report['pose_vs_gt_rot_deg']:.4f} deg / "
+         f"{report['pose_vs_gt_trans_m']:.4f} m")
 
     report["ok"] = bool(ok)
     print(json.dumps(report), flush=True)
