@@ -82,6 +82,11 @@ def main():
     ap.add_argument("--streaming", action="store_true",
                     help="also measure chained single-pair dispatch "
                          "(second remote compile, ~10 min)")
+    ap.add_argument("--hypotheses", type=int, default=1,
+                    help="SolverConfig.num_hypotheses: 4 is the "
+                         "accuracy-critical config (>=0.98 success, "
+                         "RESULTS.md); measures the SAME config the "
+                         "evaluate harness scores")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +99,7 @@ def main():
     except Exception:
         pass
 
-    from quatro_tpu.config import FPFHConfig, PipelineConfig
+    from quatro_tpu.config import FPFHConfig, PipelineConfig, SolverConfig
     from quatro_tpu.io.synthetic import make_scan_pair
     from quatro_tpu.pipeline import register_scan_pair
     from quatro_tpu.types import PointBatch
@@ -102,7 +107,8 @@ def main():
     batch = args.batch
     config = PipelineConfig(
         max_raw_points=args.points, max_voxels=8192,
-        fpfh=FPFHConfig(max_correspondences=1024))
+        fpfh=FPFHConfig(max_correspondences=1024),
+        solver=SolverConfig(num_hypotheses=args.hypotheses))
 
     _log(f"device: {jax.devices()[0]}")
     pairs = []
@@ -214,6 +220,7 @@ def main():
         detail = {
             "batched_vmap_pairs_per_s": round(batched_pps, 2),
             "batch": batch,
+            "num_hypotheses": args.hypotheses,
             "chained_calls_per_trial": calls,
             "trials_pairs_per_s": [round(t, 2) for t in trials],
             "trials_complete": f"{len(trials)}/{args.trials}",

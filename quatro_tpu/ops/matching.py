@@ -214,8 +214,11 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
 
     keep = cand_pos
     if use_tuple_test:
-        cs = tuple(src_xyz[:, c][cand_src] for c in range(3))  # (n_cand,) x3
-        ct = tuple(tgt_xyz[:, c][cand_tgt] for c in range(3))
+        # one (3, n_cand) gather per side instead of three 1-D ones
+        cs3 = jnp.take(src_xyz.T, cand_src, axis=1)
+        ct3 = jnp.take(tgt_xyz.T, cand_tgt, axis=1)
+        cs = tuple(cs3[c] for c in range(3))
+        ct = tuple(ct3[c] for c in range(3))
         tuple_keep = tuple_test_keep(cs, ct, cand_pos, ncorr,
                                      tuple_scale=tuple_scale,
                                      trials_per_corr=trials_per_corr,

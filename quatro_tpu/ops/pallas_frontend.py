@@ -48,6 +48,39 @@ _MOM = 16      # moment output lanes: 10 used, padded to a round 16
 _HIST = 48     # SPFH output lanes: 33 bins + count at 33, padded to 48
 
 
+def _tile_bounds(points: jnp.ndarray, maskf: jnp.ndarray, tile: int):
+    """(V/tile, 8) per-tile AABBs of the VALID points: [min xyz, pad,
+    max xyz, pad]. Empty tiles get [+inf, -inf] bounds (never in radius)."""
+    v = points.shape[0]
+    p = points.reshape(v // tile, tile, 3)
+    m = (maskf > 0).reshape(v // tile, tile, 1)
+    big = jnp.asarray(jnp.inf, points.dtype)
+    lo = jnp.min(jnp.where(m, p, big), axis=1)
+    hi = jnp.max(jnp.where(m, p, -big), axis=1)
+    pad = jnp.zeros((v // tile, 1), points.dtype)
+    return jnp.concatenate([lo, pad, hi, pad], axis=1)
+
+
+def _bbox_in_radius(rbb, cbb, r2):
+    """True when the two tile AABBs are within sqrt(r2): per-dim gap =
+    max(0, lo_a - hi_b, lo_b - hi_a), summed in squares. Scalar SMEM math
+    that skips the O(T*C) tile body for far-apart tiles — voxel output is
+    spatially ordered (x-major key order), so most tile pairs are far
+    beyond the 0.5-0.75 m feature radii. rbb/cbb are the FULL (tiles, 8)
+    SMEM tables (Mosaic requires whole-array scalar blocks); this tile's
+    rows are selected by program id."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    gap2 = jnp.asarray(0.0, jnp.float32)
+    for d in range(3):
+        g = jnp.maximum(rbb[i, d] - cbb[j, 4 + d],
+                        cbb[j, d] - rbb[i, 4 + d])
+        g = jnp.maximum(g, 0.0)
+        gap2 = gap2 + g * g
+    # inf - inf = nan for empty tiles: nan <= r2 is False -> skipped
+    return gap2 <= r2
+
+
 def _pair_geometry(rows_ref, colsT_ref):
     """(T, C) component offsets dx = x_i - x_j and squared distance from a
     (T, 3) row block and a (3, C) transposed column block."""
@@ -58,12 +91,15 @@ def _pair_geometry(rows_ref, colsT_ref):
     return (dx, dy, dz), d2
 
 
-def _moments_kernel(r2: float, lim, rows, colsT, mrow, mcol, out):
+def _moments_kernel(r2: float, lim, rbb, cbb, rows, colsT, mrow, mcol,
+                    out):
     """Accumulate the ten centered moment sums of this row tile over one
     column chunk. out: (T, _MOM) revisited across the column grid axis.
     lim: (1, 2) SMEM [row-tile, col-chunk] active counts — grid cells past
     the last valid point are skipped (clouds rarely fill their static
-    capacity; the fixture scans occupy ~2k of 8192 voxel slots)."""
+    capacity; the fixture scans occupy ~2k of 8192 voxel slots); rbb/cbb
+    are per-tile AABBs — tile pairs farther apart than the radius skip
+    the body entirely (the voxel order is spatial)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -71,8 +107,9 @@ def _moments_kernel(r2: float, lim, rows, colsT, mrow, mcol, out):
     def _():
         out[:] = jnp.zeros_like(out)
 
-    @pl.when((i < lim[0, 0]) & (j < lim[0, 1]))
-    def _():
+    @pl.when((i < lim[0, 0]) & (j < lim[0, 1])
+             & _bbox_in_radius(rbb, cbb, r2))
+    def _():  # noqa: E306
         (dx, dy, dz), d2 = _pair_geometry(rows, colsT)
         a = mrow[:] * mcol[:] * (d2 <= r2).astype(dx.dtype)
 
@@ -88,11 +125,12 @@ def _moments_kernel(r2: float, lim, rows, colsT, mrow, mcol, out):
         out[:] = out[:] + upd
 
 
-def _spfh_kernel(r2: float, lim, rows, colsT, nrows, ncolsT, mrow, mcol,
-                 out):
+def _spfh_kernel(r2: float, lim, rbb, cbb, rows, colsT, nrows, ncolsT,
+                 mrow, mcol, out):
     """Darboux-angle histogram of this row tile over one column chunk.
     out: (T, _HIST) = [33 bin sums | pair count | pad], revisited.
-    lim: (1, 2) SMEM active [row-tile, col-chunk] counts."""
+    lim: (1, 2) SMEM active [row-tile, col-chunk] counts; rbb/cbb as in
+    _moments_kernel."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -100,7 +138,8 @@ def _spfh_kernel(r2: float, lim, rows, colsT, nrows, ncolsT, mrow, mcol,
     def _():
         out[:] = jnp.zeros_like(out)
 
-    @pl.when((i < lim[0, 0]) & (j < lim[0, 1]))
+    @pl.when((i < lim[0, 0]) & (j < lim[0, 1])
+             & _bbox_in_radius(rbb, cbb, r2))
     def _():
         _spfh_body(r2, rows, colsT, nrows, ncolsT, mrow, mcol, out)
 
@@ -175,10 +214,12 @@ def _spfh_body(r2, rows, colsT, nrows, ncolsT, mrow, mcol, out):
     out[:] = out[:] + upd
 
 
-def _fpfh_kernel(r2: float, lim, rows, colsT, spfh_c, mrow, mcol, out):
+def _fpfh_kernel(r2: float, lim, rbb, cbb, rows, colsT, spfh_c, mrow,
+                 mcol, out):
     """FPFH weighted-SPFH accumulation: (T, C) weights @ (C, 33) SPFH on
     the MXU. out: (T, FPFH_DIM) revisited across the column grid axis.
-    lim: (1, 2) SMEM active [row-tile, col-chunk] counts."""
+    lim: (1, 2) SMEM active [row-tile, col-chunk] counts; rbb/cbb as in
+    _moments_kernel."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -186,7 +227,8 @@ def _fpfh_kernel(r2: float, lim, rows, colsT, spfh_c, mrow, mcol, out):
     def _():
         out[:] = jnp.zeros_like(out)
 
-    @pl.when((i < lim[0, 0]) & (j < lim[0, 1]))
+    @pl.when((i < lim[0, 0]) & (j < lim[0, 1])
+             & _bbox_in_radius(rbb, cbb, r2))
     def _():
         _, d2 = _pair_geometry(rows, colsT)
         both = mrow[:] * mcol[:]
@@ -205,6 +247,12 @@ def _grid_specs(v: int):
     grid = (v // _T, v // _C)
     lim = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                        memory_space=pltpu.SMEM)
+    # bbox tables live WHOLE in SMEM (the in-radius predicate is scalar
+    # math consumed by pl.when; Mosaic scalar blocks must span the array)
+    rbb = pl.BlockSpec((v // _T, 8), lambda i, j: (0, 0),
+                       memory_space=pltpu.SMEM)
+    cbb = pl.BlockSpec((v // _C, 8), lambda i, j: (0, 0),
+                       memory_space=pltpu.SMEM)
     row3 = pl.BlockSpec((_T, 3), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
     colT = pl.BlockSpec((3, _C), lambda i, j: (0, j),
@@ -213,7 +261,7 @@ def _grid_specs(v: int):
                         memory_space=pltpu.VMEM)
     mcol = pl.BlockSpec((1, _C), lambda i, j: (0, j),
                         memory_space=pltpu.VMEM)
-    return grid, lim, row3, colT, mrow, mcol
+    return grid, lim, rbb, cbb, row3, colT, mrow, mcol
 
 
 def _active_limits(maskf: jnp.ndarray) -> jnp.ndarray:
@@ -240,17 +288,18 @@ def moment_sums_pallas(points: jnp.ndarray, maskf: jnp.ndarray,
     """
     v = points.shape[0]
     assert v % _T == 0 and v % _C == 0, f"V={v} vs tiles ({_T},{_C})"
-    grid, lim, row3, colT, mrow, mcol = _grid_specs(v)
+    grid, lim, rbb, cbb, row3, colT, mrow, mcol = _grid_specs(v)
     out_spec = pl.BlockSpec((_T, _MOM), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_moments_kernel, radius * radius),
         grid=grid,
-        in_specs=[lim, row3, colT, mrow, mcol],
+        in_specs=[lim, rbb, cbb, row3, colT, mrow, mcol],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((v, _MOM), jnp.float32),
         interpret=interpret,
-    )(_active_limits(maskf), points, points.T, maskf[:, None],
+    )(_active_limits(maskf), _tile_bounds(points, maskf, _T),
+      _tile_bounds(points, maskf, _C), points, points.T, maskf[:, None],
       maskf[None, :])
 
 
@@ -305,18 +354,19 @@ def spfh_pallas(points: jnp.ndarray, normals: jnp.ndarray,
     """Raw SPFH bin sums + pair counts: (V, 33) and (V,) f32."""
     v = points.shape[0]
     assert v % _T == 0 and v % _C == 0, f"V={v} vs tiles ({_T},{_C})"
-    grid, lim, row3, colT, mrow, mcol = _grid_specs(v)
+    grid, lim, rbb, cbb, row3, colT, mrow, mcol = _grid_specs(v)
     out_spec = pl.BlockSpec((_T, _HIST), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     hist = pl.pallas_call(
         functools.partial(_spfh_kernel, radius * radius),
         grid=grid,
-        in_specs=[lim, row3, colT, row3, colT, mrow, mcol],
+        in_specs=[lim, rbb, cbb, row3, colT, row3, colT, mrow, mcol],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((v, _HIST), jnp.float32),
         interpret=interpret,
-    )(_active_limits(pair_maskf), points, points.T, normals, normals.T,
-      pair_maskf[:, None], pair_maskf[None, :])
+    )(_active_limits(pair_maskf), _tile_bounds(points, pair_maskf, _T),
+      _tile_bounds(points, pair_maskf, _C), points, points.T, normals,
+      normals.T, pair_maskf[:, None], pair_maskf[None, :])
     return hist[:, :FPFH_DIM], hist[:, FPFH_DIM]
 
 
@@ -332,7 +382,7 @@ def frontend_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
                            interpret=interpret)
     spfh = raw * (100.0 / jnp.maximum(cnt, 1.0))[:, None]
 
-    grid, lim, row3, colT, mrow, mcol = _grid_specs(v)
+    grid, lim, rbb, cbb, row3, colT, mrow, mcol = _grid_specs(v)
     spfh_spec = pl.BlockSpec((_C, FPFH_DIM), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((_T, FPFH_DIM), lambda i, j: (i, 0),
@@ -340,11 +390,12 @@ def frontend_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
     fpfh = pl.pallas_call(
         functools.partial(_fpfh_kernel, radius * radius),
         grid=grid,
-        in_specs=[lim, row3, colT, spfh_spec, mrow, mcol],
+        in_specs=[lim, rbb, cbb, row3, colT, spfh_spec, mrow, mcol],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((v, FPFH_DIM), jnp.float32),
         interpret=interpret,
-    )(_active_limits(pair_maskf), points, points.T, spfh,
+    )(_active_limits(pair_maskf), _tile_bounds(points, pair_maskf, _T),
+      _tile_bounds(points, pair_maskf, _C), points, points.T, spfh,
       pair_maskf[:, None], pair_maskf[None, :])
 
     out = []

@@ -124,20 +124,29 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
           - jnp.minimum(run_len, (1 << _CBITS) - 1)) << _PBITS) + pos,
         sentinel)
     (rank_s,) = jax.lax.sort((rank_key,), num_keys=1)
-    sel = rank_s[:k]
-    got = sel != sentinel
-    starts_top = jnp.where(got, sel & ((1 << _PBITS) - 1), 0)
+    # Re-sort the selected voxels back to POSITION (= voxel-key) order:
+    # the output is then spatially ordered (x-major grid cells), which is
+    # what lets the FPFH/normals pair kernels skip far-apart tiles via
+    # per-tile bounding boxes (ops/pallas_frontend.py::_tile_bounds). The
+    # (capacity,)-sized sort is noise next to the N-sized ones.
+    sel_pos = jnp.where(rank_s[:k] != sentinel,
+                        rank_s[:k] & ((1 << _PBITS) - 1), n)
+    (sel_pos,) = jax.lax.sort((sel_pos,), num_keys=1)
+    got = sel_pos < n
+    starts_top = jnp.where(got, sel_pos, 0)
     counts_top = jnp.where(got, jnp.take(run_len, starts_top), 0)
 
     # one 3-row cumsum pass instead of three N-sized scans
     cs3 = jnp.cumsum(jnp.stack([fx_s, fy_s, fz_s]), axis=1)
 
-    def run_sum(cs):
-        ends = starts_top + counts_top            # exclusive end
-        hi = cs[jnp.clip(ends - 1, 0, n - 1)]
-        lo = jnp.where(starts_top > 0, cs[jnp.maximum(starts_top - 1, 0)],
-                       0.0)
-        return hi - lo
+    # TWO consolidated (3, V) gathers instead of six 1-D ones (a V-sized
+    # gather from an N array costs ~0.1 ms each at production shapes)
+    ends = starts_top + counts_top                # exclusive end
+    hi3 = jnp.take(cs3, jnp.clip(ends - 1, 0, n - 1), axis=1)
+    lo3 = jnp.where(starts_top[None, :] > 0,
+                    jnp.take(cs3, jnp.maximum(starts_top - 1, 0), axis=1),
+                    0.0)
+    sums3 = hi3 - lo3
 
     out_mask = counts_top > 0
     cnt = jnp.maximum(counts_top, 1).astype(dtype)
@@ -146,9 +155,9 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     ky = ((kk >> _BITS) & (_GRID - 1)).astype(dtype)
     kz = (kk & (_GRID - 1)).astype(dtype)
     leaf = jnp.asarray(voxel_size, dtype)
-    ox = minb[0] + (kx + run_sum(cs3[0]) / cnt) * leaf
-    oy = minb[1] + (ky + run_sum(cs3[1]) / cnt) * leaf
-    oz = minb[2] + (kz + run_sum(cs3[2]) / cnt) * leaf
+    ox = minb[0] + (kx + sums3[0] / cnt) * leaf
+    oy = minb[1] + (ky + sums3[1] / cnt) * leaf
+    oz = minb[2] + (kz + sums3[2] / cnt) * leaf
 
     if k < capacity:
         pad = capacity - k

@@ -56,14 +56,15 @@ def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
     Returns (rows (N,), cols (N,), ranges (N,), in_image (N,), flat (N,)
     pixel index, range_image (R, C), owner (R, C)).
 
-    TPU design (round-3 v2): ONE packed-key scatter-min builds ownership
-    AND the range image together — (quantized range << 17 | point index);
-    the closest return wins its pixel, ties inside one ~3.7 mm bucket
-    break toward the lowest point index. (Which same-range return owns a
-    pixel is a determinism policy, not reference semantics — the
-    reference's last-write-wins depends on scan order.) A second f32
-    scatter for the exact ranges cost ~3 ms/cloud at batch 64 and only
-    sharpened the angle criterion below sensor noise.
+    TPU design (round 4): ownership AND the range image come from ONE
+    (pixel, range)-key sort followed by a unique-indices scatter of each
+    run's first packed (quantized range << 17 | point index) word; the
+    closest return wins its pixel, ties inside one ~3.7 mm bucket break
+    toward the lowest point index. (Which same-range return owns a pixel
+    is a determinism policy, not reference semantics — the reference's
+    last-write-wins depends on scan order.) A second f32 scatter for the
+    exact ranges cost ~3 ms/cloud at batch 64 and only sharpened the
+    angle criterion below sensor noise.
     """
     dtype = points.dtype
     rows_n, cols_n = lidar.n_scan, lidar.horizon_scan
@@ -89,8 +90,25 @@ def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
                   (1 << _RBITS) - 1).astype(jnp.uint32)
     packed = (rq << _IBITS) + jnp.arange(n, dtype=jnp.uint32)
     sentinel = jnp.asarray(jnp.iinfo(jnp.uint32).max, jnp.uint32)
-    owner_key = jnp.full((rows_n * cols_n + 1,), sentinel, jnp.uint32) \
-        .at[flat].min(jnp.where(ok, packed, sentinel))[:-1]
+    # Ownership via ONE (pixel, range) key sort + a UNIQUE-indices scatter
+    # of each pixel run's first element: a conflict-resolving
+    # ``.at[].min`` scatter measured 1.55 ms/cloud at this size while
+    # sort (0.17) + unique-set (0.91) is 1.03 — XLA skips the combine
+    # machinery when told every index is distinct. Losing run-starts get
+    # unique slots in a dump region past the image. Stable sort ties
+    # inside one ~3.7 mm range bucket break toward the lowest point index
+    # (same policy as before).
+    npix = rows_n * cols_n
+    sortkey = (flat.astype(jnp.uint32) << _RBITS) + rq
+    key_s, packed_s = jax.lax.sort(
+        (sortkey, jnp.where(ok, packed, sentinel)), num_keys=1)
+    flat_s = (key_s >> _RBITS).astype(jnp.int32)
+    is_start = jnp.concatenate([jnp.ones(1, bool),
+                                flat_s[1:] != flat_s[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    scat_idx = jnp.where(is_start & (flat_s < npix), flat_s, npix + pos)
+    owner_key = jnp.full((npix + n,), sentinel, jnp.uint32) \
+        .at[scat_idx].set(packed_s, unique_indices=True)[:npix]
     empty = owner_key == sentinel
     owner = jnp.where(
         empty, -1,

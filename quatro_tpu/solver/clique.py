@@ -28,6 +28,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _count_mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Counting matmul over 0/1 operands: bf16 inputs (0/1 is EXACT in
+    bf16) with f32 accumulation — exact integer counts at half the HBM
+    traffic of an f32 matmul. The adjacency re-reads inside the peel /
+    growth loops are this solver's dominant memory cost (4 MB x batch per
+    matvec in f32)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 def _peel_to_kcore(adj_f: jnp.ndarray, alive: jnp.ndarray, k) -> jnp.ndarray:
     """Fixed point of 'remove alive vertices with < k alive neighbours'.
 
@@ -41,7 +53,7 @@ def _peel_to_kcore(adj_f: jnp.ndarray, alive: jnp.ndarray, k) -> jnp.ndarray:
 
     def body(state):
         alive, _ = state
-        deg = adj_f @ alive
+        deg = _count_mm(adj_f, alive)
         new_alive = alive * (deg >= k).astype(alive.dtype)
         changed = jnp.any(new_alive != alive)
         return new_alive, changed
@@ -57,9 +69,9 @@ def max_kcore(adj: jnp.ndarray, mask: jnp.ndarray):
     fixed point. Equivalent to PMC's compute_cores()/get_max_core bound
     (src/graph.cc:59-61) without per-vertex serial bucket updates.
     """
-    adj_f = adj.astype(jnp.float32)
+    adj_f = adj.astype(jnp.bfloat16)
     alive0 = mask.astype(jnp.float32)
-    deg0 = adj_f @ alive0
+    deg0 = _count_mm(adj_f, alive0)
     hi = jnp.max(jnp.where(mask, deg0, 0.0)).astype(jnp.int32)
 
     def probe(k):
@@ -84,35 +96,62 @@ def max_kcore(adj: jnp.ndarray, mask: jnp.ndarray):
     return lo, best_core > 0
 
 
-@partial(jax.jit, static_argnames=("num_seeds", "max_size"))
+@partial(jax.jit, static_argnames=("num_seeds", "max_size", "phase1_rounds",
+                                   "survivors"))
 def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
                         mask: jnp.ndarray, num_seeds: int = 16,
-                        max_size: int = 512) -> jnp.ndarray:
-    """Grow S greedy cliques in lock-step; return all (S, N) clique masks.
+                        max_size: int = 512, phase1_rounds: int = 8,
+                        survivors: int = 16) -> jnp.ndarray:
+    """Grow S greedy cliques in lock-step; return (S, N) clique masks
+    (rows past the phase-2 survivor count are frozen at their
+    phase-1-final state).
 
     seed_scores ranks seed attractiveness (core-membership + degree).
     Each growth round adds, per seed, the candidate with maximal degree
     within that seed's candidate set — one (S,N)@(N,N) matmul per round.
+
+    TWO-PHASE schedule (round 4; loop cost is rounds x (S, N) traffic and
+    rounds == final clique size, ~40-80 on real consistency graphs): all
+    S seeds grow `phase1_rounds` rounds, then only the `survivors` most
+    promising (largest candidate set — every alive seed has equal size,
+    and a seed inside the true clique keeps the remaining clique in its
+    candidate set while noise seeds exhaust within a few rounds) continue
+    to completion. Quality is pinned by the regret suite
+    (tests/test_clique_exact.py, tools/clique_regret.py).
     """
     n = adj.shape[0]
     num_seeds = min(num_seeds, n)
-    adj_f = adj.astype(jnp.float32)
+    adj_f = adj.astype(jnp.bfloat16)
     scores = jnp.where(mask, seed_scores, -jnp.inf)
     _, seeds = jax.lax.top_k(scores, num_seeds)  # (S,)
 
     clique = jax.nn.one_hot(seeds, n, dtype=jnp.float32)      # (S, N)
-    cand = adj_f[seeds] * mask.astype(jnp.float32)            # (S, N)
+    cand = (adj_f[seeds] * mask.astype(jnp.bfloat16)
+            ).astype(jnp.float32)                             # (S, N)
 
-    def cond(state):
-        clique, cand, rounds = state
-        # each round adds one vertex to the seed, so max_size - 1 additions
-        return jnp.logical_and(jnp.any(jnp.sum(cand, axis=1) > 0),
-                               rounds < max_size - 1)
+    def cond(limit):
+        def f(state):
+            clique, cand, rounds = state
+            return jnp.logical_and(jnp.any(jnp.sum(cand, axis=1) > 0),
+                                   rounds < limit)
+        return f
 
     def body(state):
         clique, cand, rounds = state
         # degree of each candidate within its candidate set
-        deg = (cand @ adj_f) * cand                            # (S, N)
+        deg = _count_mm(cand, adj_f) * cand                    # (S, N)
+        # EARLY COMPLETION: when a seed's candidate set is itself a clique
+        # (within-cand edge count == c*(c-1)), greedy would add every
+        # member one round at a time — absorb it wholesale instead. On
+        # planted-clique-like consistency graphs this collapses the ~40-80
+        # round tail to a few rounds (identical final cliques; the loop
+        # cost is rounds x traffic).
+        csz = jnp.sum(cand, axis=1)                            # (S,)
+        esum = jnp.sum(deg, axis=1)                            # 2x edges
+        whole = ((esum == csz * (csz - 1.0)) & (csz > 0)
+                 ).astype(jnp.float32)[:, None]
+        clique = clique + cand * whole
+        cand = cand * (1.0 - whole)
         # prefer higher degree; break ties by lower index for determinism
         tiebreak = -jnp.arange(n, dtype=jnp.float32) * 1e-6
         score = jnp.where(cand > 0, deg + tiebreak, -jnp.inf)
@@ -121,12 +160,28 @@ def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
         has_cand = (jnp.sum(cand, axis=1) > 0)[:, None].astype(jnp.float32)
         clique = clique + pick_oh * has_cand
         # candidates must neighbour every clique member -> intersect
-        cand = cand * adj_f[pick] * has_cand
+        pick_rows = _count_mm(pick_oh, adj_f)                  # (S, N)
+        cand = cand * pick_rows * has_cand
         cand = cand * (1.0 - clique)
         return clique, cand, rounds + 1
 
-    clique, _, _ = jax.lax.while_loop(
-        cond, body, (clique, cand, jnp.asarray(0, jnp.int32)))
+    if num_seeds <= survivors or phase1_rounds >= max_size:
+        clique, _, _ = jax.lax.while_loop(
+            cond(max_size - 1), body,
+            (clique, cand, jnp.asarray(0, jnp.int32)))
+        return clique > 0
+
+    # phase 1: everyone, a few rounds
+    clique, cand, _ = jax.lax.while_loop(
+        cond(phase1_rounds), body, (clique, cand,
+                                    jnp.asarray(0, jnp.int32)))
+    # phase 2: the most promising survivors to completion
+    promise = jnp.sum(cand, axis=1)
+    _, keep = jax.lax.top_k(promise, survivors)
+    c2, d2, _ = jax.lax.while_loop(
+        cond(max_size - 1), body,
+        (clique[keep], cand[keep], jnp.asarray(0, jnp.int32)))
+    clique = clique.at[keep].set(c2)
     return clique > 0
 
 
@@ -316,7 +371,7 @@ def clique_seed_scores(adj: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     dominates, degree breaks ties (shared by select_inliers and
     register_hypotheses so the two paths cannot drift)."""
     _, kcore_mask = max_kcore(adj, mask)
-    deg = adj.astype(jnp.float32) @ mask.astype(jnp.float32)
+    deg = _count_mm(adj, mask)
     return kcore_mask.astype(jnp.float32) * 1e6 + deg
 
 
@@ -350,7 +405,7 @@ def top_distinct_cliques(cliques: jnp.ndarray, k: int,
     order = jnp.argsort(-sort_key)
     cf = cf[order]
     sizes = sizes[order]
-    inter = cf @ cf.T                                    # (S, S)
+    inter = _count_mm(cf, cf.T)                          # (S, S)
     min_sz = jnp.minimum(sizes[:, None], sizes[None, :])
 
     def body(i, state):

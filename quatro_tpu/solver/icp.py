@@ -49,13 +49,26 @@ class IcpResult(NamedTuple):
 
 
 def _subsample(points: jnp.ndarray, mask: jnp.ndarray, k: int):
-    """First k valid points, compacted to static shape (k, 3)."""
+    """Evenly-strided k of the valid points, compacted to (k, 3).
+
+    STRIDED, not first-k: voxel clouds are spatially ordered (x-major key
+    order, ops/voxel.py), so the first k valid entries would be an x-slab
+    of the scene — a catastrophic support for point-to-plane. Striding
+    the compacted valid range keeps global coverage under any ordering.
+    """
     n = points.shape[0]
     if k >= n:
         return points, mask
     iota = jnp.arange(n)
-    order = jnp.argsort(jnp.where(mask, iota, n + iota))[:k]
-    return points[order], mask[order]
+    order = jnp.argsort(jnp.where(mask, iota, n + iota))
+    m = jnp.sum(mask).astype(jnp.int32)
+    # when fewer than k are valid, take them as-is (the strided formula
+    # would duplicate a prefix subset)
+    take = jnp.where(m >= k, (jnp.arange(k) * jnp.maximum(m, 1)) // k,
+                     jnp.arange(k))
+    sel = order[jnp.minimum(take, n - 1)]
+    smask = jnp.arange(k) < jnp.minimum(m, k)
+    return points[sel], mask[sel] & smask
 
 
 def refine_icp(src_points: jnp.ndarray, src_mask: jnp.ndarray,
