@@ -40,10 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 from quatro_tpu.ops.fpfh import FPFH_DIM, NUM_BINS
 from quatro_tpu.ops.normals import Normals, smallest_eigenpair_sym3
 
-# Row-tile and column-chunk sizes. (T, C) f32 temporaries are 512 KB; the
-# SPFH kernel keeps ~a dozen alive, comfortably inside ~16 MB VMEM.
-_T = 256
-_C = 512
+# Row-tile and column-chunk sizes. (T, C) f32 temporaries are 2 MB; the
+# SPFH kernel keeps ~a dozen alive — inside the raised 100 MB VMEM budget
+# (_BIG_VMEM below). Doubling both from 256/512 quarters the grid-step
+# count, which dominates once the bbox skip removes most tile compute.
+_T = 512
+_C = 1024
+_TNN = 256     # NN-kernel row tile (its own size: the matcher gates on
+               # multiples of 256, and its VMEM needs differ)
+_BIG_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 _MOM = 16      # moment output lanes: 10 used, padded to a round 16
 _HIST = 48     # SPFH output lanes: 33 bins + count at 33, padded to 48
 
@@ -242,24 +247,31 @@ def _fpfh_kernel(r2: float, lim, rbb, cbb, rows, colsT, spfh_c, mrow,
             preferred_element_type=jnp.float32)
 
 
+def _tiles(v: int):
+    """Per-call tile sizes: the static _T/_C clamped to the cloud
+    capacity (small configs run V=512-2048)."""
+    return min(_T, v), min(_C, v)
+
+
 def _grid_specs(v: int):
     """Common (rows, cols) grid + block specs for the pair-tile kernels."""
-    grid = (v // _T, v // _C)
+    t, c = _tiles(v)
+    grid = (v // t, v // c)
     lim = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                        memory_space=pltpu.SMEM)
     # bbox tables live WHOLE in SMEM (the in-radius predicate is scalar
     # math consumed by pl.when; Mosaic scalar blocks must span the array)
-    rbb = pl.BlockSpec((v // _T, 8), lambda i, j: (0, 0),
+    rbb = pl.BlockSpec((v // t, 8), lambda i, j: (0, 0),
                        memory_space=pltpu.SMEM)
-    cbb = pl.BlockSpec((v // _C, 8), lambda i, j: (0, 0),
+    cbb = pl.BlockSpec((v // c, 8), lambda i, j: (0, 0),
                        memory_space=pltpu.SMEM)
-    row3 = pl.BlockSpec((_T, 3), lambda i, j: (i, 0),
+    row3 = pl.BlockSpec((t, 3), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
-    colT = pl.BlockSpec((3, _C), lambda i, j: (0, j),
+    colT = pl.BlockSpec((3, c), lambda i, j: (0, j),
                         memory_space=pltpu.VMEM)
-    mrow = pl.BlockSpec((_T, 1), lambda i, j: (i, 0),
+    mrow = pl.BlockSpec((t, 1), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
-    mcol = pl.BlockSpec((1, _C), lambda i, j: (0, j),
+    mcol = pl.BlockSpec((1, c), lambda i, j: (0, j),
                         memory_space=pltpu.VMEM)
     return grid, lim, rbb, cbb, row3, colT, mrow, mcol
 
@@ -270,10 +282,11 @@ def _active_limits(maskf: jnp.ndarray) -> jnp.ndarray:
     pattern (holes inside the prefix still participate); callers that pack
     valid entries first (voxel_downsample does) get the full win."""
     n = maskf.shape[0]
+    t, c = _tiles(n)
     iota = jnp.arange(n, dtype=jnp.int32)
     last = jnp.max(jnp.where(maskf > 0, iota + 1, 0))
-    return jnp.stack([(last + _T - 1) // _T,
-                      (last + _C - 1) // _C]).astype(jnp.int32)[None, :]
+    return jnp.stack([(last + t - 1) // t,
+                      (last + c - 1) // c]).astype(jnp.int32)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "interpret"))
@@ -287,9 +300,10 @@ def moment_sums_pallas(points: jnp.ndarray, maskf: jnp.ndarray,
     (self included, as in dense_normals).
     """
     v = points.shape[0]
-    assert v % _T == 0 and v % _C == 0, f"V={v} vs tiles ({_T},{_C})"
+    t, c = _tiles(v)
+    assert v % t == 0 and v % c == 0, f"V={v} vs tiles ({t},{c})"
     grid, lim, rbb, cbb, row3, colT, mrow, mcol = _grid_specs(v)
-    out_spec = pl.BlockSpec((_T, _MOM), lambda i, j: (i, 0),
+    out_spec = pl.BlockSpec((t, _MOM), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_moments_kernel, radius * radius),
@@ -297,9 +311,10 @@ def moment_sums_pallas(points: jnp.ndarray, maskf: jnp.ndarray,
         in_specs=[lim, rbb, cbb, row3, colT, mrow, mcol],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((v, _MOM), jnp.float32),
+        compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(_active_limits(maskf), _tile_bounds(points, maskf, _T),
-      _tile_bounds(points, maskf, _C), points, points.T, maskf[:, None],
+    )(_active_limits(maskf), _tile_bounds(points, maskf, t),
+      _tile_bounds(points, maskf, c), points, points.T, maskf[:, None],
       maskf[None, :])
 
 
@@ -353,9 +368,10 @@ def spfh_pallas(points: jnp.ndarray, normals: jnp.ndarray,
                 interpret: bool = False):
     """Raw SPFH bin sums + pair counts: (V, 33) and (V,) f32."""
     v = points.shape[0]
-    assert v % _T == 0 and v % _C == 0, f"V={v} vs tiles ({_T},{_C})"
+    t, c = _tiles(v)
+    assert v % t == 0 and v % c == 0, f"V={v} vs tiles ({t},{c})"
     grid, lim, rbb, cbb, row3, colT, mrow, mcol = _grid_specs(v)
-    out_spec = pl.BlockSpec((_T, _HIST), lambda i, j: (i, 0),
+    out_spec = pl.BlockSpec((t, _HIST), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     hist = pl.pallas_call(
         functools.partial(_spfh_kernel, radius * radius),
@@ -363,9 +379,10 @@ def spfh_pallas(points: jnp.ndarray, normals: jnp.ndarray,
         in_specs=[lim, rbb, cbb, row3, colT, row3, colT, mrow, mcol],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((v, _HIST), jnp.float32),
+        compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(_active_limits(pair_maskf), _tile_bounds(points, pair_maskf, _T),
-      _tile_bounds(points, pair_maskf, _C), points, points.T, normals,
+    )(_active_limits(pair_maskf), _tile_bounds(points, pair_maskf, t),
+      _tile_bounds(points, pair_maskf, c), points, points.T, normals,
       normals.T, pair_maskf[:, None], pair_maskf[None, :])
     return hist[:, :FPFH_DIM], hist[:, FPFH_DIM]
 
@@ -382,10 +399,11 @@ def frontend_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
                            interpret=interpret)
     spfh = raw * (100.0 / jnp.maximum(cnt, 1.0))[:, None]
 
+    t, c = _tiles(v)
     grid, lim, rbb, cbb, row3, colT, mrow, mcol = _grid_specs(v)
-    spfh_spec = pl.BlockSpec((_C, FPFH_DIM), lambda i, j: (j, 0),
+    spfh_spec = pl.BlockSpec((c, FPFH_DIM), lambda i, j: (j, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_T, FPFH_DIM), lambda i, j: (i, 0),
+    out_spec = pl.BlockSpec((t, FPFH_DIM), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     fpfh = pl.pallas_call(
         functools.partial(_fpfh_kernel, radius * radius),
@@ -393,9 +411,10 @@ def frontend_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
         in_specs=[lim, rbb, cbb, row3, colT, spfh_spec, mrow, mcol],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((v, FPFH_DIM), jnp.float32),
+        compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(_active_limits(pair_maskf), _tile_bounds(points, pair_maskf, _T),
-      _tile_bounds(points, pair_maskf, _C), points, points.T, spfh,
+    )(_active_limits(pair_maskf), _tile_bounds(points, pair_maskf, t),
+      _tile_bounds(points, pair_maskf, c), points, points.T, spfh,
       pair_maskf[:, None], pair_maskf[None, :])
 
     out = []
@@ -454,6 +473,15 @@ def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out,
         d2_out[:] = jnp.where(better, dmin, d2_out[:])
 
 
+def _nn_active_rows(maskf: jnp.ndarray) -> jnp.ndarray:
+    """(1, 1) int32 active _TNN-row-tile count (the NN kernel's own row
+    tiling — _active_limits uses the pair-kernel tile sizes)."""
+    n = maskf.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    last = jnp.max(jnp.where(maskf > 0, iota + 1, 0))
+    return ((last + _TNN - 1) // _TNN).astype(jnp.int32)[None, None]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                              mask_a: jnp.ndarray, mask_b: jnp.ndarray,
@@ -468,21 +496,21 @@ def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     """
     na, d = desc_a.shape
     nb = desc_b.shape[0]
-    assert na % _T == 0, f"Na={na} must be a multiple of {_T}"
+    assert na % _TNN == 0, f"Na={na} must be a multiple of {_TNN}"
     chunk = min(nb, 2048)
     assert nb % chunk == 0, f"Nb={nb} must be a multiple of {chunk}"
-    grid = (na // _T, nb // chunk)
+    grid = (na // _TNN, nb // chunk)
     lim_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
-    row_spec = pl.BlockSpec((_T, d), lambda i, j: (i, 0),
+    row_spec = pl.BlockSpec((_TNN, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
                             memory_space=pltpu.VMEM)
-    mrow = pl.BlockSpec((_T, 1), lambda i, j: (i, 0),
+    mrow = pl.BlockSpec((_TNN, 1), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
     mcol = pl.BlockSpec((1, chunk), lambda i, j: (0, j),
                         memory_space=pltpu.VMEM)
-    out_i = pl.BlockSpec((_T, 1), lambda i, j: (i, 0),
+    out_i = pl.BlockSpec((_TNN, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
     maskf_a = mask_a.astype(desc_a.dtype)
     idx, d2 = pl.pallas_call(
@@ -493,7 +521,7 @@ def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((na, 1), jnp.int32),
                    jax.ShapeDtypeStruct((na, 1), jnp.float32)),
         interpret=interpret,
-    )(_active_limits(maskf_a)[:, :1], desc_a, desc_b, maskf_a[:, None],
+    )(_nn_active_rows(maskf_a), desc_a, desc_b, maskf_a[:, None],
       mask_b.astype(desc_b.dtype)[None, :])
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
     d2 = jnp.where(mask_a, d2[:, 0], big)

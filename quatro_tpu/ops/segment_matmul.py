@@ -54,7 +54,7 @@ def _oh_tile(ids_ref, p_pad, dtype=jnp.float32):
         jnp.int32, (p_pad, 1), 0)).astype(dtype)
 
 
-def _split_dot_oh_vals(oh16, vals, dims):
+def _split_dot_oh_vals(oh16, vals, dims, terms=3):
     """f32-accurate one-hot contraction in TWO bf16 MXU passes.
 
     A 0/1 one-hot is EXACT in bf16, so with vals split into three bf16
@@ -68,7 +68,7 @@ def _split_dot_oh_vals(oh16, vals, dims):
     """
     out = None
     rem = vals
-    for _ in range(3):
+    for _ in range(terms):
         part = rem.astype(jnp.bfloat16)
         rem = rem - part.astype(jnp.float32)
         d = jax.lax.dot_general(oh16, part, dimension_numbers=dims,
@@ -235,7 +235,7 @@ def _lookup_member(ids, chan, tab, p_cnt, oh16):
     return proj, vals[3:4], vals[4:5], member
 
 
-def _fit_kernel(p_pad: int, p_cnt: int, ids, chan, tab, out):
+def _fit_kernel(p_pad: int, p_cnt: int, terms: int, ids, chan, tab, out):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -246,12 +246,14 @@ def _fit_kernel(p_pad: int, p_cnt: int, ids, chan, tab, out):
     _, _, _, member = _lookup_member(ids[:], chan[:], tab[:], p_cnt, oh)
     mom = _moment_rows(chan[:]) * member.astype(jnp.float32)   # (10, T)
     out[:] = out[:] + _split_dot_oh_vals(
-        oh, mom, (((1,), (1,)), ((), ())))
+        oh, mom, (((1,), (1,)), ((), ())), terms=terms)
 
 
-@functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "exact",
+                                              "interpret"))
 def fit_iteration_moments(ids: jnp.ndarray, chan: jnp.ndarray,
                           tab: jnp.ndarray, p_pad: int, p_cnt: int,
+                          exact: bool = True,
                           interpret: bool = False) -> jnp.ndarray:
     """One fused Patchwork plane-fit iteration: deliver the per-patch
     plane table [n1, n2, n3, th, _] to points, evaluate membership
@@ -261,6 +263,12 @@ def fit_iteration_moments(ids: jnp.ndarray, chan: jnp.ndarray,
 
     ids: (N,) int32; chan: (5, N) f32 [x, y, z, px, py] (NaN-free);
     tab: (p_pad, 5) f32 with zero rows beyond p_cnt. Returns (p_pad, 10).
+
+    exact=False runs the moment contraction with a single bf16 term
+    (~0.4% relative moment error) — used for the INTERMEDIATE Patchwork
+    plane-fit iterations, whose only output is the next membership set;
+    the final iteration (whose covariance feeds the uprightness/flatness
+    gates, where bf16 noise would swamp small variances) must stay exact.
     """
     _, n = chan.shape
     if not (jax.default_backend() == "tpu" or interpret) or n % _TF != 0:
@@ -268,10 +276,12 @@ def fit_iteration_moments(ids: jnp.ndarray, chan: jnp.ndarray,
         proj = vals[0] * chan[0] + vals[1] * chan[1] + vals[2] * chan[2]
         member = (ids < p_cnt) & (proj < vals[3])
         mom = _moment_rows(chan) * member[None, :].astype(jnp.float32)
+        if not exact:   # mirror the kernel's single-term bf16 rounding
+            mom = mom.astype(jnp.bfloat16).astype(jnp.float32)
         return segment_sums(ids, mom, p_pad)
     grid = (n // _TF,)
     return pl.pallas_call(
-        functools.partial(_fit_kernel, p_pad, p_cnt),
+        functools.partial(_fit_kernel, p_pad, p_cnt, 3 if exact else 1),
         grid=grid,
         in_specs=[pl.BlockSpec((1, _TF), lambda i: (0, i),
                                memory_space=pltpu.VMEM),

@@ -45,6 +45,33 @@ _CBITS = 14                      # clamped occupancy bits in the rank key
 _PBITS = 17                      # position bits in the rank key
 
 
+def _u(c: int) -> "jnp.ndarray":
+    import numpy as _np
+    return jnp.asarray(_np.uint32(c))
+
+
+def _part1by2(v: "jnp.ndarray") -> "jnp.ndarray":
+    """Spread the low 10 bits of v so consecutive bits land 3 apart
+    (Morton interleave component). uint32 internally — the magic masks
+    have the sign bit patterns of int32."""
+    v = v.astype(jnp.uint32) & _u(0x3FF)
+    v = (v | (v << 16)) & _u(0xFF0000FF)
+    v = (v | (v << 8)) & _u(0x0300F00F)
+    v = (v | (v << 4)) & _u(0x030C30C3)
+    v = (v | (v << 2)) & _u(0x09249249)
+    return v.astype(jnp.int32)           # 30-bit result: sign-safe
+
+
+def _compact1by2(v: "jnp.ndarray") -> "jnp.ndarray":
+    """Inverse of _part1by2."""
+    v = v.astype(jnp.uint32) & _u(0x09249249)
+    v = (v | (v >> 2)) & _u(0x030C30C3)
+    v = (v | (v >> 4)) & _u(0x0300F00F)
+    v = (v | (v >> 8)) & _u(0xFF0000FF)
+    v = (v | (v >> 16)) & _u(0x3FF)
+    return v.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
                      voxel_size: float, capacity: int):
@@ -76,8 +103,14 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     cx = jnp.where(in_grid, cx, 0.0)
     cy = jnp.where(in_grid, cy, 0.0)
     cz = jnp.where(in_grid, cz, 0.0)
-    key = (cx.astype(jnp.int32) << (2 * _BITS)) \
-        + (cy.astype(jnp.int32) << _BITS) + cz.astype(jnp.int32)
+    # MORTON (z-curve) key: interleaved cell bits keep the sorted voxel
+    # order 3-D-local, so consecutive output voxels form compact blocks —
+    # the FPFH/normals pair kernels' per-tile bounding boxes then skip
+    # far more tile pairs than with an x-major key, whose 256-voxel tiles
+    # were thin full-extent x-slabs (ops/pallas_frontend.py).
+    key = (_part1by2(cx.astype(jnp.int32) )
+           + (_part1by2(cy.astype(jnp.int32)) << 1)
+           + (_part1by2(cz.astype(jnp.int32)) << 2))
     sentinel = jnp.iinfo(jnp.int32).max
     key = jnp.where(in_grid, key, sentinel)  # invalid last
 
@@ -125,7 +158,7 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
         sentinel)
     (rank_s,) = jax.lax.sort((rank_key,), num_keys=1)
     # Re-sort the selected voxels back to POSITION (= voxel-key) order:
-    # the output is then spatially ordered (x-major grid cells), which is
+    # the output is then spatially ordered (Morton blocks), which is
     # what lets the FPFH/normals pair kernels skip far-apart tiles via
     # per-tile bounding boxes (ops/pallas_frontend.py::_tile_bounds). The
     # (capacity,)-sized sort is noise next to the N-sized ones.
@@ -151,9 +184,9 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     out_mask = counts_top > 0
     cnt = jnp.maximum(counts_top, 1).astype(dtype)
     kk = key_s[jnp.minimum(starts_top, n - 1)]
-    kx = (kk >> (2 * _BITS)).astype(dtype)
-    ky = ((kk >> _BITS) & (_GRID - 1)).astype(dtype)
-    kz = (kk & (_GRID - 1)).astype(dtype)
+    kx = _compact1by2(kk).astype(dtype)
+    ky = _compact1by2(kk >> 1).astype(dtype)
+    kz = _compact1by2(kk >> 2).astype(dtype)
     leaf = jnp.asarray(voxel_size, dtype)
     ox = minb[0] + (kx + sums3[0] / cnt) * leaf
     oy = minb[1] + (ky + sums3[1] / cnt) * leaf

@@ -322,7 +322,11 @@ def estimate_ground(points: jnp.ndarray, mask: jnp.ndarray,
     # (include/patchwork.hpp:545-586; covariance on patch-relative offsets)
     nrm = th_dist_d = elevation = surface_var = None
     for it in range(cfg.num_iter):
-        S = fit_iteration_moments(pid, chan, tab, p_pad, p_cnt)[:p_cnt].T
+        # intermediate iterations only produce the next membership set —
+        # a single-term bf16 moment contraction (~0.4% relative) is
+        # plenty; the FINAL fit feeds the covariance gates and runs exact
+        S = fit_iteration_moments(pid, chan, tab, p_pad, p_cnt,
+                                  exact=(it + 1 == cfg.num_iter))[:p_cnt].T
         cnt = jnp.maximum(S[0], 1.0)
         mx_r, my_r, mz_r = S[1] / cnt, S[2] / cnt, S[3] / cnt
         cxx = S[4] / cnt - mx_r * mx_r

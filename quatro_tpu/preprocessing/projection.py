@@ -201,11 +201,43 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
             s *= 2
         return best
 
+    # Sweep schedule (round 4, measured on real range images): with the
+    # default diagonal-only 4CrossNeighbor mode, convergence is driven by
+    # ZIGZAG paths (a horizontal wall is a down-right/up-right staircase)
+    # — per-direction straight-run doubling beyond reach 4 changed
+    # nothing while the while-loop ran 36-49 iterations (vs the 48 cap).
+    # So: cap straight doubling at reach 4, and add COMPOSED zigzag
+    # sweeps — edge pairs a+b with displacement (0, +-2)/(+-2, 0), whose
+    # own doubling collapses staircase walls in log2 steps. Composition
+    # adds no connectivity beyond the transitive closure, so the fixed
+    # point is unchanged; it arrives in ~6 iterations instead of ~45.
+    is_4cross = set(cfg.neighbor_offsets) == {(-1, -1), (-1, 1), (1, 1),
+                                              (1, -1)}
+    comp = []
+    if is_4cross:
+        emap = {(dr, dc): e for e, dr, dc in edges}
+
+        def compose(a, b):
+            ea, eb = emap[a], emap[b]
+            return (ea & jnp.roll(eb, (-a[0], -a[1]), axis=(0, 1))) | (
+                eb & jnp.roll(ea, (-b[0], -b[1]), axis=(0, 1)))
+
+        for a, b in ((( 1, 1), (-1, 1)), ((1, -1), (-1, -1)),
+                     (( 1, 1), ( 1, -1)), ((-1, 1), (-1, -1))):
+            dr, dc = a[0] + b[0], a[1] + b[1]
+            comp.append((compose(a, b), dr, dc))
+
     def propagate(labels):
         out = labels
         for e, dr, dc in edges:
             reach = rows if dr != 0 else cols
             steps = (reach - 1).bit_length() + 1   # 2^(steps-1) >= reach
+            if is_4cross:
+                steps = min(steps, 3)              # reach 4; see above
+            out = sweep(out, e, dr, dc, steps)
+        for e, dr, dc in comp:
+            reach = (rows if dr != 0 else cols) // 2
+            steps = max(reach - 1, 1).bit_length() + 1
             out = sweep(out, e, dr, dc, steps)
         return jnp.where(valid, out, npix)
 

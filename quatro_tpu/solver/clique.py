@@ -148,7 +148,10 @@ def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
         # cost is rounds x traffic).
         csz = jnp.sum(cand, axis=1)                            # (S,)
         esum = jnp.sum(deg, axis=1)                            # 2x edges
-        whole = ((esum == csz * (csz - 1.0)) & (csz > 0)
+        # ... but never past the max_size hard cap (greedy adds exactly
+        # one vertex per round, so the cap check is per absorption only)
+        room = jnp.sum(clique, axis=1) + csz <= float(max_size)
+        whole = ((esum == csz * (csz - 1.0)) & (csz > 0) & room
                  ).astype(jnp.float32)[:, None]
         clique = clique + cand * whole
         cand = cand * (1.0 - whole)
@@ -157,7 +160,9 @@ def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
         score = jnp.where(cand > 0, deg + tiebreak, -jnp.inf)
         pick = jnp.argmax(score, axis=1)                       # (S,)
         pick_oh = jax.nn.one_hot(pick, n, dtype=jnp.float32)
-        has_cand = (jnp.sum(cand, axis=1) > 0)[:, None].astype(jnp.float32)
+        has_cand = ((jnp.sum(cand, axis=1) > 0)
+                    & (jnp.sum(clique, axis=1) < float(max_size))
+                    )[:, None].astype(jnp.float32)
         clique = clique + pick_oh * has_cand
         # candidates must neighbour every clique member -> intersect
         pick_rows = _count_mm(pick_oh, adj_f)                  # (S, N)
@@ -172,15 +177,15 @@ def grow_greedy_cliques(adj: jnp.ndarray, seed_scores: jnp.ndarray,
         return clique > 0
 
     # phase 1: everyone, a few rounds
-    clique, cand, _ = jax.lax.while_loop(
+    clique, cand, r1 = jax.lax.while_loop(
         cond(phase1_rounds), body, (clique, cand,
                                     jnp.asarray(0, jnp.int32)))
-    # phase 2: the most promising survivors to completion
+    # phase 2: the most promising survivors to completion (the round
+    # counter carries over so max_size stays a hard cap on total growth)
     promise = jnp.sum(cand, axis=1)
     _, keep = jax.lax.top_k(promise, survivors)
     c2, d2, _ = jax.lax.while_loop(
-        cond(max_size - 1), body,
-        (clique[keep], cand[keep], jnp.asarray(0, jnp.int32)))
+        cond(max_size - 1), body, (clique[keep], cand[keep], r1))
     clique = clique.at[keep].set(c2)
     return clique > 0
 

