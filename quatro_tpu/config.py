@@ -386,6 +386,11 @@ class PipelineConfig:
     # starve the matcher on sparse scenes. False keeps every non-ground
     # point for feature extraction (the TPU FPFH is cheap enough).
     use_subclustering: bool = True
+    # Run src/tgt preprocessing as ONE vmapped chain at 2x batch (halves
+    # the front-end's op count; the front-end is latency-bound). Measured
+    # faster in round 4 (the round-3 regression came from spill traffic
+    # the redesign has since removed); False restores two chains.
+    stack_preprocess: bool = True
     voxel_size: float = 0.3
     # Static capacities per stage.
     max_raw_points: int = 131072

@@ -215,16 +215,22 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
     """
     import dataclasses
 
-    # NOTE: do NOT stack the raw clouds into one (2, N, 3) batch here — the
-    # stacked copy is a fresh ~8.6 GB padded buffer at production batch
-    # (minor-dim-3 pads 42x) and doubles the live working set through
-    # preprocessing; measured as a throughput REGRESSION (spill traffic).
-    # (_extract_features_pair does stack the raw clouds once, but that
-    # stack is transient — consumed immediately by voxel_downsample —
-    # unlike a preprocess-level stack that stays live across the whole
-    # Patchwork/projection chain; the 44 pairs/s bench includes it.)
-    src_seg, src_ground = preprocess(src.points, src.mask, config)
-    tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
+    if config.stack_preprocess and src.points.shape == tgt.points.shape:
+        # ONE preprocessing chain at 2x batch instead of two sequential
+        # chains: the front-end is op-count/latency-bound, so halving the
+        # op count wins even though the stacked (2, N, 3) copy costs a
+        # buffer. (Round 3 measured stacking as a REGRESSION when the
+        # pipeline moved 344 GB/call and the copy spilled; at round 4's
+        # ~150 GB/call it measures faster — see RESULTS.md.)
+        pts2 = jnp.stack([src.points, tgt.points])
+        msk2 = jnp.stack([src.mask, tgt.mask])
+        seg2, ground2 = jax.vmap(lambda p, m: preprocess(p, m, config))(
+            pts2, msk2)
+        src_seg, src_ground = seg2[0], ground2[0]
+        tgt_seg, tgt_ground = seg2[1], ground2[1]
+    else:
+        src_seg, src_ground = preprocess(src.points, src.mask, config)
+        tgt_seg, tgt_ground = preprocess(tgt.points, tgt.mask, config)
 
     # Coarse solve happens on the (possibly leveled) segmented clouds; the
     # ICP polish, when enabled, runs afterwards on the RAW clouds — the

@@ -278,9 +278,15 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
     size = next_start - start
     # rows are contiguous per component (|dr| <= 1): lines = span + 1,
     # and within a run the sort is row-minor so first/last give min/max.
-    rmin = jax.lax.cummax(jnp.where(new_lab, row_s, 0))
-    rmax = jax.lax.cummin(jnp.where(last_lab, row_s,
-                                    jnp.iinfo(jnp.int32).max), reverse=True)
+    # The start/end rows are forward/backward-filled with the row PACKED
+    # under the (strictly monotone) position — a bare cummax of run-start
+    # rows propagates the largest row seen across EARLIER runs, which
+    # silently shrank `lines` and rejected small valid clusters (caught
+    # by a 29% segment-count drop, round 4).
+    rmin = jax.lax.cummax(jnp.where(new_lab, pos * rows + row_s, 0)) % rows
+    rmax = (rows - 1) - jax.lax.cummin(
+        jnp.where(last_lab, pos * rows + (rows - 1 - row_s),
+                  jnp.iinfo(jnp.int32).max), reverse=True) % rows
     lines = rmax - rmin + 1
 
     feas_s = (size >= cfg.min_pts_for_subcluster) | (

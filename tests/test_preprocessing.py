@@ -186,3 +186,50 @@ def test_segment_cloud_lego_mode(scan):
     if g.sum() > 0:
         assert (g & true_ground).sum() / g.sum() > 0.7
     assert g.sum() > 0.2 * true_ground.sum()
+
+
+def test_label_component_stats_vs_bruteforce(rng):
+    """Per-component size/line stats must match a brute-force count on a
+    scene with MANY components whose run-start rows are non-monotone
+    across label order — the round-4 regression (a bare cummax of
+    run-start rows leaked earlier runs' larger rows into later runs'
+    `lines`, silently rejecting small valid clusters; 29% of segment
+    points vanished before the fix)."""
+    import collections
+
+    from quatro_tpu.config import LidarConfig, ProjectionConfig
+    from quatro_tpu.preprocessing.projection import label_components
+
+    lidar = LidarConfig()
+    cfg = ProjectionConfig()
+    rows, cols = lidar.n_scan, lidar.horizon_scan
+    # sparse random blobs at random row offsets: near-constant range so
+    # the angle criterion connects everything inside a blob
+    rimg = np.full((rows, cols), np.inf, np.float32)
+    valid = np.zeros((rows, cols), bool)
+    for k in range(120):
+        r0 = rng.integers(0, rows - 6)
+        c0 = rng.integers(0, cols - 8)
+        h = rng.integers(1, 6)
+        w = rng.integers(1, 8)
+        rimg[r0:r0 + h, c0:c0 + w] = 10.0 + 0.001 * k
+        valid[r0:r0 + h, c0:c0 + w] = True
+    lab, feas, pixf = label_components(jnp.asarray(rimg), jnp.asarray(valid),
+                                       lidar, cfg)
+    lab = np.asarray(lab)
+    pixf = np.asarray(pixf)
+
+    comp = collections.defaultdict(list)
+    for r in range(rows):
+        for c in range(cols):
+            if lab[r, c] >= 0:
+                comp[lab[r, c]].append(r)
+    for l, rws in comp.items():
+        size = len(rws)
+        lines = len(set(rws))
+        expect = (size >= cfg.min_pts_for_subcluster) or (
+            size >= cfg.segment_valid_point_num
+            and lines >= cfg.segment_valid_line_num)
+        got = bool(pixf[lab == l].all()) if expect else not pixf[lab == l].any()
+        assert got, (f"component {l}: size={size} lines={lines} "
+                     f"expect feasible={expect}")
