@@ -82,6 +82,8 @@ def main():
     ap.add_argument("--streaming", action="store_true",
                     help="also measure chained single-pair dispatch "
                          "(second remote compile, ~10 min)")
+    ap.add_argument("--no-stack", action="store_true",
+                    help="A/B: disable the stacked 2x-batch preprocessing")
     ap.add_argument("--hypotheses", type=int, default=1,
                     help="SolverConfig.num_hypotheses: 4 is the "
                          "accuracy-critical config (>=0.98 success, "
@@ -108,7 +110,8 @@ def main():
     config = PipelineConfig(
         max_raw_points=args.points, max_voxels=8192,
         fpfh=FPFHConfig(max_correspondences=1024),
-        solver=SolverConfig(num_hypotheses=args.hypotheses))
+        solver=SolverConfig(num_hypotheses=args.hypotheses),
+        stack_preprocess=not args.no_stack)
 
     _log(f"device: {jax.devices()[0]}")
     pairs = []

@@ -386,11 +386,13 @@ class PipelineConfig:
     # starve the matcher on sparse scenes. False keeps every non-ground
     # point for feature extraction (the TPU FPFH is cheap enough).
     use_subclustering: bool = True
-    # Run src/tgt preprocessing as ONE vmapped chain at 2x batch (halves
-    # the front-end's op count; the front-end is latency-bound). Measured
-    # faster in round 4 (the round-3 regression came from spill traffic
-    # the redesign has since removed); False restores two chains.
-    stack_preprocess: bool = True
+    # Run src/tgt preprocessing as ONE vmapped chain at 2x batch. Twice
+    # measured a REGRESSION (round 3: spill traffic; round 4 re-test at
+    # half the HBM footprint: 48 vs 70 pairs/s — the stacked (2, N, 3)
+    # copy pads its minor dim ~42x and swamps the op-count savings), so
+    # the default is the two sequential chains. Kept as a knob because
+    # the tradeoff may flip on hardware with different padding behavior.
+    stack_preprocess: bool = False
     voxel_size: float = 0.3
     # Static capacities per stage.
     max_raw_points: int = 131072

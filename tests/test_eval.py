@@ -7,6 +7,8 @@ from quatro_tpu.config import FPFHConfig, LidarConfig, PipelineConfig
 from quatro_tpu.eval import evaluate_loop_closures, evaluate_scaling
 
 
+@pytest.mark.slow  # the full evaluate harness runs on-chip every round;
+# the quick set keeps the golden-pose aggregate gate instead
 def test_loop_closure_eval_small():
     lidar = LidarConfig.preset("VLP-16")
     cfg = PipelineConfig(lidar=lidar, max_voxels=2048,
@@ -57,6 +59,7 @@ def test_fpfh_for_lidar_scaling():
     assert f_sparse.fpfh_radius > f_sparse.normal_radius
 
 
+@pytest.mark.slow
 def test_scaling_eval_runs():
     res = evaluate_scaling(batch_per_device=2, device_counts=[1, 2],
                            n_corr=128, iters=2)
@@ -134,6 +137,7 @@ def test_loop_closure_eval_hard_world():
     assert s["success_rate"] >= 4 / 5, s
 
 
+@pytest.mark.slow
 def test_overlap_sweep_smoke():
     from quatro_tpu.eval import evaluate_overlap_sweep
     lidar = LidarConfig.preset("VLP-16")

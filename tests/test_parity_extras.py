@@ -110,6 +110,7 @@ def test_fgr_rotation_mode_recovers():
     assert float(jnp.linalg.norm(sol.translation - gt[:3, 3])) < 0.2
 
 
+@pytest.mark.slow
 def test_scan_metadata():
     from quatro_tpu.config import LidarConfig
     from quatro_tpu.io.synthetic import make_scene, raycast_scan
@@ -153,6 +154,7 @@ def test_scan_metadata():
     assert not (seg & outlier_pix & ~gflag).any()
 
 
+@pytest.mark.slow
 def test_estimate_scaling_recovers_similarity_transform(rng):
     """TLS scale extension: recovers (s, R, t) for tgt = s*R*src + t + noise
     with gross outliers (beyond the reference, whose estimate_scaling flag
@@ -208,6 +210,7 @@ def test_rotation_geodesic_error_small_angle():
     assert abs(got - np.pi) < 1e-5
 
 
+@pytest.mark.slow
 def test_solver_float64_fallback():
     """SURVEY §7 design stance: f32 default, f64 fallback for conditioning
     experiments (the reference computes in double throughout, e.g.

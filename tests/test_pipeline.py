@@ -46,6 +46,8 @@ def test_front_end_slice_recovers_transform(scan_pair):
     assert trans_err < 0.5, f"translation error {trans_err} m"
 
 
+@pytest.mark.slow  # quick-set coverage of this path: the golden-pose
+# gate registers six full raw-scan pipelines (tests/test_golden_poses.py)
 def test_full_pipeline_with_preprocessing(scan_pair):
     """Raw scans -> Patchwork -> projection -> voxel -> FPFH -> solve
     (the reference's complete main() flow on the toy pair)."""
