@@ -171,19 +171,10 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
     ia = jnp.arange(na)
     ib = jnp.arange(nb)
 
-    from quatro_tpu.ops.pallas_frontend import (
-        nearest_neighbors_pallas_2way, use_pallas_frontend_default)
-    if (use_pallas_frontend_default() and na % 256 == 0
-            and (nb <= 2048 or nb % 2048 == 0)):
-        # both directions from ONE pass over the distance tiles (the
-        # second kernel call measured ~0.7 ms/pair)
-        nn_ab, d2_ab, nn_ba, d2_ba = nearest_neighbors_pallas_2way(
-            src_desc, tgt_desc, src_mask, tgt_mask)
-    else:
-        nn_ab, d2_ab = _nearest_neighbors(src_desc, tgt_desc,
-                                          src_mask, tgt_mask)  # (Na,)
-        nn_ba, d2_ba = _nearest_neighbors(tgt_desc, src_desc,
-                                          tgt_mask, src_mask)  # (Nb,)
+    nn_ab, d2_ab = _nearest_neighbors(src_desc, tgt_desc,
+                                      src_mask, tgt_mask)  # (Na,)
+    nn_ba, d2_ba = _nearest_neighbors(tgt_desc, src_desc,
+                                      tgt_mask, src_mask)  # (Nb,)
     mutual_a = (nn_ba[nn_ab] == ia) & src_mask & tgt_mask[nn_ab]
 
     if use_crosscheck:

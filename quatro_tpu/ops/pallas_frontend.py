@@ -46,9 +46,8 @@ from quatro_tpu.ops.normals import Normals, smallest_eigenpair_sym3
 # count, which dominates once the bbox skip removes most tile compute.
 _T = 512
 _C = 1024
-_TNN = 1024    # NN-kernel row tile cap (clamped to Na per call; the
-               # matcher gates on multiples of 256 — grid-step overhead
-               # dominated at 256: 128 steps x ~6 us measured)
+_TNN = 256     # NN-kernel row tile (its own size: the matcher gates on
+               # multiples of 256, and its VMEM needs differ)
 _BIG_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 _MOM = 16      # moment output lanes: 10 used, padded to a round 16
 _HIST = 48     # SPFH output lanes: 33 bins + count at 33, padded to 48
@@ -426,22 +425,19 @@ def frontend_fpfh(points: jnp.ndarray, normals: jnp.ndarray,
     return jnp.concatenate(out, axis=-1)
 
 
-def _nn_kernel(t: int, lim, rows_d, cols_d, rows_m, cols_m, idx_out,
-               d2_out, cidx_out, cd2_out):
-    """Bidirectional nearest neighbors from ONE pass over the distance
-    tiles: the row side keeps a running minimum revisited across column
-    chunks (grid axis 1), and the column side emits PER-ROW-TILE partial
-    minima into (na/t, nb) planes that a tiny XLA reduce collapses
-    afterwards — the reverse-direction kernel (a second full V x V pass,
-    ~0.7 ms/pair) disappears. rows_d: (T, D); cols_d: (C, D) chunk; masks
-    (T, 1)/(1, C) f32; idx_out/d2_out: (T, 1); cidx_out/cd2_out: (1, C)
-    blocks at grid position (i, j). lim: (1, 1) SMEM active row-tile
-    count.
+def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out,
+               d2_out):
+    """Running nearest neighbor of each row descriptor over one column
+    CHUNK (grid axis 1); out blocks are revisited across chunks. The full
+    (V, 33) column set in VMEM pads 33 -> 128 lanes and, with the (T, V)
+    distance tile, blew the 16 MB VMEM budget at V=8192 — chunking keeps
+    the footprint ~6 MB. rows_d: (T, D); cols_d: (C, D) chunk; masks
+    (T, 1)/(1, C) f32; idx_out/d2_out: (T, 1). lim: (1, 1) SMEM active
+    row-tile count (skipped tiles' outputs are masked by the caller).
 
-    Tie semantics match XLA argmin (first minimum) in BOTH directions:
-    chunks/tiles are visited ascending and only strictly smaller
-    distances replace the running minimum; within a tile the lowest
-    index wins.
+    Tie semantics match XLA argmin (first minimum): chunks are visited in
+    ascending order and only a STRICTLY smaller distance replaces the
+    running minimum; within a chunk the lowest tied column index wins.
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -450,12 +446,6 @@ def _nn_kernel(t: int, lim, rows_d, cols_d, rows_m, cols_m, idx_out,
     def _():
         idx_out[:] = jnp.zeros_like(idx_out)
         d2_out[:] = jnp.full_like(d2_out, 3.4e38)
-
-    @pl.when(i >= lim[0, 0])
-    def _():
-        cidx_out[pl.ds(i, 1), :] = jnp.zeros_like(cidx_out[pl.ds(i, 1), :])
-        cd2_out[pl.ds(i, 1), :] = jnp.full_like(
-            cd2_out[pl.ds(i, 1), :], 3.4e38)
 
     @pl.when(i < lim[0, 0])
     def _():
@@ -481,23 +471,15 @@ def _nn_kernel(t: int, lim, rows_d, cols_d, rows_m, cols_m, idx_out,
         better = dmin < d2_out[:]
         idx_out[:] = jnp.where(better, imin, idx_out[:])
         d2_out[:] = jnp.where(better, dmin, d2_out[:])
-        # column-side partials (sublane reduction — cheap)
-        cmin = jnp.min(d2, axis=0, keepdims=True)               # (1, C)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        rmin = jnp.min(jnp.where(d2 <= cmin, row_ids, t), axis=0,
-                       keepdims=True)
-        cidx_out[pl.ds(i, 1), :] = jnp.minimum(rmin, t - 1) + i * t
-        cd2_out[pl.ds(i, 1), :] = cmin
 
 
 def _nn_active_rows(maskf: jnp.ndarray) -> jnp.ndarray:
     """(1, 1) int32 active _TNN-row-tile count (the NN kernel's own row
     tiling — _active_limits uses the pair-kernel tile sizes)."""
     n = maskf.shape[0]
-    t = min(_TNN, n)
     iota = jnp.arange(n, dtype=jnp.int32)
     last = jnp.max(jnp.where(maskf > 0, iota + 1, 0))
-    return ((last + t - 1) // t).astype(jnp.int32)[None, None]
+    return ((last + _TNN - 1) // _TNN).astype(jnp.int32)[None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -506,78 +488,44 @@ def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                              interpret: bool = False):
     """Per-row nearest neighbor of A in B: (idx (Na,) int32, d2 (Na,) f32).
 
-    Kept as the one-directional API; internally runs the bidirectional
-    kernel and drops the reverse outputs (XLA dead-code-eliminates the
-    unused reduce)."""
-    idx, d2, _, _ = nearest_neighbors_pallas_2way(desc_a, desc_b, mask_a,
-                                                  mask_b,
-                                                  interpret=interpret)
-    return idx, d2
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nearest_neighbors_pallas_2way(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
-                                  mask_a: jnp.ndarray, mask_b: jnp.ndarray,
-                                  interpret: bool = False):
-    """BOTH directions from one pass: (nn_ab (Na,), d2_ab (Na,),
-    nn_ba (Nb,), d2_ba (Nb,)).
-
-    Drop-in for two ops.matching._nearest_neighbors calls. The column
-    set (~1 MB at 8192 x 33) stays VMEM-resident across row tiles; the
-    reverse direction costs only (na/t, nb) partial-minimum planes plus
-    a tiny XLA reduce instead of a second full V x V kernel pass
-    (measured ~0.7 ms/pair). Invalid rows/cols get index 0 / +max
+    Drop-in for ops.matching._nearest_neighbors. The XLA row-blocked path
+    materializes ~0.5 GB of (T, V) distance tiles per pair in HBM; here B
+    (~1 MB at 8192 x 33) stays VMEM-resident across row tiles and HBM sees
+    only descriptors in, indices out. Invalid rows get index 0 / +max
     (matching the XLA path: argmin over an all-big row returns 0).
     """
     na, d = desc_a.shape
     nb = desc_b.shape[0]
-    t = min(_TNN, na)
-    assert na % t == 0, f"Na={na} must be a multiple of {t}"
+    assert na % _TNN == 0, f"Na={na} must be a multiple of {_TNN}"
     chunk = min(nb, 2048)
     assert nb % chunk == 0, f"Nb={nb} must be a multiple of {chunk}"
-    grid = (na // t, nb // chunk)
+    grid = (na // _TNN, nb // chunk)
     lim_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
-    row_spec = pl.BlockSpec((t, d), lambda i, j: (i, 0),
+    row_spec = pl.BlockSpec((_TNN, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
                             memory_space=pltpu.VMEM)
-    mrow = pl.BlockSpec((t, 1), lambda i, j: (i, 0),
+    mrow = pl.BlockSpec((_TNN, 1), lambda i, j: (i, 0),
                         memory_space=pltpu.VMEM)
     mcol = pl.BlockSpec((1, chunk), lambda i, j: (0, j),
                         memory_space=pltpu.VMEM)
-    out_i = pl.BlockSpec((t, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM)
-    # full-first-dim blocks (Mosaic wants the 2nd-to-last block dim
-    # divisible by 8 or equal to the array dim); the kernel writes its
-    # own row via a dynamic sublane slice. Revisits across the major
-    # grid axis flush/refetch the 64 KB block — noise.
-    out_c = pl.BlockSpec((na // t, chunk), lambda i, j: (0, j),
+    out_i = pl.BlockSpec((_TNN, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM)
     maskf_a = mask_a.astype(desc_a.dtype)
-    idx, d2, cidx, cd2 = pl.pallas_call(
-        functools.partial(_nn_kernel, t),
+    idx, d2 = pl.pallas_call(
+        _nn_kernel,
         grid=grid,
         in_specs=[lim_spec, row_spec, col_spec, mrow, mcol],
-        out_specs=(out_i, out_i, out_c, out_c),
+        out_specs=(out_i, out_i),
         out_shape=(jax.ShapeDtypeStruct((na, 1), jnp.int32),
-                   jax.ShapeDtypeStruct((na, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((na // t, nb), jnp.int32),
-                   jax.ShapeDtypeStruct((na // t, nb), jnp.float32)),
-        compiler_params=_BIG_VMEM,
+                   jax.ShapeDtypeStruct((na, 1), jnp.float32)),
         interpret=interpret,
     )(_nn_active_rows(maskf_a), desc_a, desc_b, maskf_a[:, None],
       mask_b.astype(desc_b.dtype)[None, :])
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
-    d2_ab = jnp.where(mask_a, d2[:, 0], big)
-    nn_ab = jnp.where(mask_a, idx[:, 0], 0)
-    # collapse the (na/t, nb) partial planes — first-minimum tie rule
-    kbest = jnp.argmin(cd2, axis=0)                          # (nb,)
-    d2_ba = jnp.take_along_axis(cd2, kbest[None, :], axis=0)[0]
-    nn_ba = jnp.take_along_axis(cidx, kbest[None, :], axis=0)[0]
-    d2_ba = jnp.where(mask_b, d2_ba, big)
-    nn_ba = jnp.where(mask_b, nn_ba, 0)
-    return nn_ab, d2_ab, nn_ba, d2_ba
+    d2 = jnp.where(mask_a, d2[:, 0], big)
+    return jnp.where(mask_a, idx[:, 0], 0), d2
 
 
 def use_pallas_frontend_default() -> bool:

@@ -135,30 +135,3 @@ def test_nn_kernel_multichunk_ties(rng):
     assert np.all(np.asarray(pal_i)[:50] == 100)   # earlier chunk wins tie
     np.testing.assert_allclose(np.asarray(pal_d), np.asarray(ref_d),
                                rtol=1e-5, atol=1e-3)
-
-
-def test_nn_2way_matches_bruteforce(rng):
-    """Bidirectional NN kernel (one pass, reverse direction from per-tile
-    partial minima) vs brute force, multi-tile + multi-chunk + masks +
-    first-minimum ties."""
-    import numpy as np
-
-    from quatro_tpu.ops.pallas_frontend import nearest_neighbors_pallas_2way
-    na, nb, d = 512, 4096, 33
-    da = jnp.asarray(rng.random((na, d)).astype(np.float32))
-    db = jnp.asarray((rng.random((nb, d)) * 0.25).astype(np.float32))
-    ma = jnp.asarray(rng.random(na) < 0.9)
-    mb = jnp.asarray(rng.random(nb) < 0.9)
-    ab_i, ab_d, ba_i, ba_d = [np.asarray(x) for x in
-                              nearest_neighbors_pallas_2way(
-                                  da, db, ma, mb, interpret=True)]
-    d2 = ((np.asarray(da)[:, None] - np.asarray(db)[None]) ** 2).sum(-1)
-    d2 = np.where(np.asarray(ma)[:, None] & np.asarray(mb)[None], d2,
-                  np.finfo(np.float32).max)
-    man, mbn = np.asarray(ma), np.asarray(mb)
-    np.testing.assert_array_equal(ab_i[man], d2.argmin(1)[man])
-    np.testing.assert_array_equal(ba_i[mbn], d2.argmin(0)[mbn])
-    np.testing.assert_allclose(ab_d[man], d2.min(1)[man], rtol=1e-4,
-                               atol=1e-4)
-    np.testing.assert_allclose(ba_d[mbn], d2.min(0)[mbn], rtol=1e-4,
-                               atol=1e-4)
