@@ -82,8 +82,11 @@ def main():
     ap.add_argument("--streaming", action="store_true",
                     help="also measure chained single-pair dispatch "
                          "(second remote compile, ~10 min)")
-    ap.add_argument("--no-stack", action="store_true",
-                    help="A/B: disable the stacked 2x-batch preprocessing")
+    ap.add_argument("--stack", action="store_true",
+                    help="A/B: enable the stacked 2x-batch preprocessing "
+                         "(measured SLOWER, 48 vs 70 pairs/s round 4 — "
+                         "off by default so the official bench measures "
+                         "the production PipelineConfig)")
     ap.add_argument("--hypotheses", type=int, default=1,
                     help="SolverConfig.num_hypotheses: 4 is the "
                          "accuracy-critical config (>=0.98 success, "
@@ -111,7 +114,7 @@ def main():
         max_raw_points=args.points, max_voxels=8192,
         fpfh=FPFHConfig(max_correspondences=1024),
         solver=SolverConfig(num_hypotheses=args.hypotheses),
-        stack_preprocess=not args.no_stack)
+        stack_preprocess=args.stack)
 
     _log(f"device: {jax.devices()[0]}")
     pairs = []

@@ -55,7 +55,7 @@ def _oh_tile(ids_ref, p_pad, dtype=jnp.float32):
 
 
 def _split_dot_oh_vals(oh16, vals, dims, terms=3):
-    """f32-accurate one-hot contraction in TWO bf16 MXU passes.
+    """f32-accurate one-hot contraction in THREE bf16 MXU passes.
 
     A 0/1 one-hot is EXACT in bf16, so with vals split into three bf16
     terms (hi + mid + lo reconstructs ~26 bits >= f32's 24), the products
@@ -117,12 +117,13 @@ def segment_sums(ids: jnp.ndarray, vals: jnp.ndarray, p_pad: int,
     """out[p, k] = sum over i with ids[i] == p of vals[k, i].
 
     ids: (N,) int32 in [0, p_pad) (out-of-range ids are dropped);
-    vals: (K, N) f32, K-major. Returns (p_pad, K) f32. N % 4096 (= _T) == 0
-    on the TPU path (the pipeline's capacities are powers of two >= 4096).
+    vals: (K, N) f32, K-major. Returns (p_pad, K) f32. N % 8192 (= _T) == 0
+    on the TPU path (the pipeline's capacities are powers of two >= 8192;
+    other sizes take the materialized-one-hot fallback, warned on TPU).
     """
     k, n = vals.shape
     if not (jax.default_backend() == "tpu" or interpret) or n % _T != 0:
-        if jax.default_backend() == "tpu" and n >= 4 * _T:
+        if jax.default_backend() == "tpu" and n % _T != 0:
             # The materialized one-hot is (N, p_pad) bf16 — the exact HBM
             # blowup the kernel exists to avoid (~168 MB per 131k cloud).
             import warnings

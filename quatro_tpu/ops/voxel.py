@@ -39,7 +39,14 @@ import jax.numpy as jnp
 # outside are dropped (pathological clouds only).
 _BITS = 10
 _GRID = 1 << _BITS
-_FBITS = 10                      # fraction fixed-point bits
+# Fraction fixed-point bits. 15 bits (~9 um at a 0.3 m leaf) ride in TWO
+# int32 payloads ((fx<<15|fy), fz). Round 4 shipped 10 bits in ONE payload;
+# the advisor flagged that the 0.2 mm quantization step measurably flipped
+# planar-aliasing knife-edge poses under the default single-hypothesis
+# config (a 4 cm pose became 1.96 m), so the extra sort operand
+# (+~0.05 ms/cloud, CLAUDE.md cost model) buys back default-config
+# robustness.
+_FBITS = 15
 _FSCALE = float(1 << _FBITS)
 _CBITS = 14                      # clamped occupancy bits in the rank key
 _PBITS = 17                      # position bits in the rank key
@@ -114,8 +121,8 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     sentinel = jnp.iinfo(jnp.int32).max
     key = jnp.where(in_grid, key, sentinel)  # invalid last
 
-    # Corner-relative fractions in leaf units, 10-bit fixed point, packed
-    # into ONE 30-bit int32 payload (fx|fy|fz) — a 2-operand sort.
+    # Corner-relative fractions in leaf units, 15-bit fixed point, packed
+    # into TWO int32 payloads ((fx<<15)|fy, fz) — a 3-operand sort.
     fx = jnp.where(in_grid, (x - minb[0]) * inv - cx, 0.0)
     fy = jnp.where(in_grid, (y - minb[1]) * inv - cy, 0.0)
     fz = jnp.where(in_grid, (z - minb[2]) * inv - cz, 0.0)
@@ -126,15 +133,15 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     qx = jnp.clip(fx * _FSCALE, 0.0, fmax).astype(jnp.int32)
     qy = jnp.clip(fy * _FSCALE, 0.0, fmax).astype(jnp.int32)
     qz = jnp.clip(fz * _FSCALE, 0.0, fmax).astype(jnp.int32)
-    pf = (qx << (2 * _FBITS)) + (qy << _FBITS) + qz
+    pf_xy = (qx << _FBITS) + qy
 
-    key_s, pf_s = jax.lax.sort((key, pf), num_keys=1)
+    key_s, pfxy_s, qz_s = jax.lax.sort((key, pf_xy, qz), num_keys=1)
     valid_b = key_s != sentinel
     inv_fscale = jnp.asarray(1.0 / _FSCALE, dtype)
     fmask = (1 << _FBITS) - 1
-    fx_s = ((pf_s >> (2 * _FBITS)).astype(dtype) + 0.5) * inv_fscale
-    fy_s = (((pf_s >> _FBITS) & fmask).astype(dtype) + 0.5) * inv_fscale
-    fz_s = ((pf_s & fmask).astype(dtype) + 0.5) * inv_fscale
+    fx_s = ((pfxy_s >> _FBITS).astype(dtype) + 0.5) * inv_fscale
+    fy_s = ((pfxy_s & fmask).astype(dtype) + 0.5) * inv_fscale
+    fz_s = (qz_s.astype(dtype) + 0.5) * inv_fscale
     vf = valid_b.astype(dtype)
     fx_s, fy_s, fz_s = fx_s * vf, fy_s * vf, fz_s * vf
 

@@ -217,11 +217,10 @@ def register_scan_pair(src: PointBatch, tgt: PointBatch,
 
     if config.stack_preprocess and src.points.shape == tgt.points.shape:
         # ONE preprocessing chain at 2x batch instead of two sequential
-        # chains: the front-end is op-count/latency-bound, so halving the
-        # op count wins even though the stacked (2, N, 3) copy costs a
-        # buffer. (Round 3 measured stacking as a REGRESSION when the
-        # pipeline moved 344 GB/call and the copy spilled; at round 4's
-        # ~150 GB/call it measures faster — see RESULTS.md.)
+        # chains. Measured a REGRESSION in BOTH round 3 (344 GB/call) and
+        # the round-4 re-test (48 vs 70 pairs/s at ~150 GB/call): the
+        # 42x-padded (2, N, 3) stack copy swamps the op-count savings.
+        # Default stays False (config.py); the branch is kept for A/B.
         pts2 = jnp.stack([src.points, tgt.points])
         msk2 = jnp.stack([src.mask, tgt.mask])
         seg2, ground2 = jax.vmap(lambda p, m: preprocess(p, m, config))(

@@ -85,6 +85,12 @@ def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
 
     n = points.shape[0]
     assert n <= (1 << _IBITS), "owner packing supports up to 131072 points"
+    # The ownership sortkey packs flat << _RBITS into uint32; the sentinel
+    # value rows_n*cols_n must itself fit, else a denser custom lidar
+    # (e.g. 128x2048) would silently corrupt pixel ownership.
+    assert rows_n * cols_n < (1 << (32 - _RBITS)), (
+        f"range image {rows_n}x{cols_n} overflows the uint32 "
+        f"(pixel, range) sortkey ({32 - _RBITS} pixel bits)")
     # 15 range bits + 17 index bits need the full 32 — uint32 packing.
     rq = jnp.clip(rng * jnp.asarray((1 << _RBITS) / _RMAX, dtype), 0,
                   (1 << _RBITS) - 1).astype(jnp.uint32)
