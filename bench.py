@@ -88,10 +88,13 @@ def main():
                          "off by default so the official bench measures "
                          "the production PipelineConfig)")
     ap.add_argument("--hypotheses", type=int, default=1,
-                    help="SolverConfig.num_hypotheses: 4 is the "
-                         "accuracy-critical config (>=0.98 success, "
-                         "RESULTS.md); measures the SAME config the "
+                    help="SolverConfig.num_hypotheses: clique-ranked "
+                         "hypotheses; measures the SAME config the "
                          "evaluate harness scores")
+    ap.add_argument("--votes", type=int, default=0,
+                    help="SolverConfig.num_vote_hypotheses: extra "
+                         "clique-independent (yaw, translation)-vote "
+                         "hypotheses (solver/vote.py)")
     args = ap.parse_args()
 
     import jax
@@ -113,7 +116,8 @@ def main():
     config = PipelineConfig(
         max_raw_points=args.points, max_voxels=8192,
         fpfh=FPFHConfig(max_correspondences=1024),
-        solver=SolverConfig(num_hypotheses=args.hypotheses),
+        solver=SolverConfig(num_hypotheses=args.hypotheses,
+                            num_vote_hypotheses=args.votes),
         stack_preprocess=args.stack)
 
     _log(f"device: {jax.devices()[0]}")
@@ -227,6 +231,7 @@ def main():
             "batched_vmap_pairs_per_s": round(batched_pps, 2),
             "batch": batch,
             "num_hypotheses": args.hypotheses,
+            "num_vote_hypotheses": args.votes,
             "chained_calls_per_trial": calls,
             "trials_pairs_per_s": [round(t, 2) for t in trials],
             "trials_complete": f"{len(trials)}/{args.trials}",

@@ -274,6 +274,13 @@ def main(argv=None) -> int:
                    help="ground ripple amplitude (m)")
     e.add_argument("--dynamic-fraction", type=float, default=0.0,
                    help="fraction of cars that MOVE between the captures")
+    e.add_argument("--num-vote-hypotheses", type=int, default=0,
+                   help="extra clique-independent (yaw, translation)-vote "
+                        "hypotheses (solver/vote.py)")
+    e.add_argument("--batch", type=int, default=1,
+                   help="register pairs in jit(vmap) chunks of this size "
+                        "(the bench's serving pattern; required for "
+                        "n >= 300 statistical-power runs)")
     e.set_defaults(fn=cmd_evaluate)
 
     o = sub.add_parser("overlap",
@@ -348,7 +355,9 @@ def cmd_evaluate(args) -> int:
         lidar=LidarConfig.preset(args.lidar_type),
         max_voxels=args.max_voxels,
         solver=SolverConfig(num_hypotheses=getattr(args, "num_hypotheses",
-                                                   1)),
+                                                   1),
+                            num_vote_hypotheses=getattr(
+                                args, "num_vote_hypotheses", 0)),
         ground_alignment=GroundAlignmentConfig(
             enabled=getattr(args, "ground_alignment", False)),
         icp=IcpConfig(enabled=getattr(args, "refine", False)))
@@ -364,7 +373,8 @@ def cmd_evaluate(args) -> int:
         cache_dir=args.cache_dir,
         tilt_deg=getattr(args, "tilt_deg", 0.0),
         terrain=terrain,
-        dynamic_fraction=getattr(args, "dynamic_fraction", 0.0))
+        dynamic_fraction=getattr(args, "dynamic_fraction", 0.0),
+        batch=getattr(args, "batch", 1))
     print(json.dumps(report.summary()))
     return 0
 

@@ -285,6 +285,20 @@ class SolverConfig:
     # OdometryRunner (which have the clouds to verify against);
     # register_correspondences alone always solves the single best clique.
     num_hypotheses: int = 1
+    # Clique-INDEPENDENT hypotheses from (yaw, translation) voting
+    # (solver/vote.py): planar aliasing can bury the correct consensus
+    # set below the top K cliques entirely (measured at K=8, RESULTS.md
+    # round 4), so extra hypotheses of the same kind cannot recover it.
+    # The vote path reads the modal yaw off the consistency graph's
+    # edges, then emits the top translation modes at that yaw as
+    # additional support masks; the same overlap arbitration picks the
+    # winner. 0 disables. Cost is ~1 extra GNC+COTE polish + 1 overlap
+    # check per hypothesis.
+    num_vote_hypotheses: int = 0
+    # Translation vote bin edge, in units of noise_bound.
+    vote_trans_bin_scale: float = 2.5
+    vote_yaw_anchors: int = 64
+    vote_yaw_bins: int = 256
 
     def __post_init__(self):
         if self.reg_name not in ("Quatro", "TEASER"):
@@ -302,6 +316,14 @@ class SolverConfig:
             raise ValueError(f"bad inlier_selection_mode {self.inlier_selection_mode!r}")
         if self.num_hypotheses < 1:
             raise ValueError("num_hypotheses must be >= 1")
+        if self.num_vote_hypotheses < 0:
+            raise ValueError("num_vote_hypotheses must be >= 0")
+
+    @property
+    def total_hypotheses(self) -> int:
+        """Clique + vote hypotheses actually solved by the multi-
+        hypothesis path (pipeline gates on > 1)."""
+        return self.num_hypotheses + self.num_vote_hypotheses
 
 
 @dataclass(frozen=True)

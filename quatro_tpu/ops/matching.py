@@ -105,6 +105,12 @@ def tuple_test_keep(cs: tuple, ct: tuple, cand_pos: jnp.ndarray,
 
     cs/ct: coordinate component tuples (3 x (n_cand,)) of the compacted
     candidates; cand_pos: (n_cand,) bool validity; ncorr: live count.
+
+    The trial loop is a lax.scan with unroll=8: one device dispatch per 8
+    trials instead of 100 tiny sequential iteration bodies. (A fully
+    trace-time-unrolled version with static-int shifts was tried in round
+    5 and rejected: the ~4800-op graph sent XLA:CPU compile time through
+    the roof — the test suite compiles this path on every run.)
     """
     import numpy as _np
     n_cand = cand_pos.shape[0]
@@ -136,7 +142,8 @@ def tuple_test_keep(cs: tuple, ct: tuple, cand_pos: jnp.ndarray,
         hit = ok | jnp.roll(ok, s1) | jnp.roll(ok, s2)
         return keep_acc | hit, None
 
-    tuple_keep, _ = jax.lax.scan(trial, jnp.zeros((n_cand,), bool), shifts)
+    tuple_keep, _ = jax.lax.scan(trial, jnp.zeros((n_cand,), bool), shifts,
+                                 unroll=8)
     return tuple_keep & cand_pos
 
 
@@ -192,34 +199,45 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         cand_q0 = jnp.concatenate([d2_ab, d2_ba])
 
     n_cand = cand_src0.shape[0]
-    ic = jnp.arange(n_cand, dtype=jnp.int32)
     assert max(na, nb) <= (1 << 15), "candidate packing supports 32k kps"
     packed_st0 = (cand_src0.astype(jnp.int32) << 15) \
         + cand_tgt0.astype(jnp.int32)
 
-    # Compact candidate pairs to the front: ONE 3-operand sort carrying
-    # the packed (src, tgt) pair and the NN distance (bit-cast; d2 >= 0
-    # so the f32 bit pattern is order-preserving as int32) — replacing an
-    # argsort + four V-sized gathers (the quality used to be re-derived
-    # from two (V, 33) descriptor gathers; the NN search already knows it).
-    key0 = jnp.where(cand_flag, ic, n_cand + ic)
+    # ONE quality sort up front: candidates ordered best-descriptor-
+    # distance-first (bit-cast; d2 >= 0 so the f32 bit pattern is
+    # order-preserving as int32), invalid pushed to +inf; num_keys=2 pins
+    # equal-quality ties to the packed pair id for determinism. Replaces
+    # round 4's validity-compaction sort + separate final quality sort,
+    # both over the full candidate axis.
+    inf_bits = jnp.iinfo(jnp.int32).max
     qbits0 = jax.lax.bitcast_convert_type(
         jnp.maximum(cand_q0, 0.0).astype(jnp.float32), jnp.int32)
-    _, packed_st, qbits = jax.lax.sort((key0, packed_st0, qbits0),
-                                       num_keys=1)
+    qkey0 = jnp.where(cand_flag, qbits0, inf_bits)
+    _, packed_st = jax.lax.sort((qkey0, packed_st0), num_keys=2)
     ncorr = jnp.sum(cand_flag).astype(jnp.int32)
-    cand_pos = ic < ncorr
-    cand_src = packed_st >> 15
-    cand_tgt = packed_st & ((1 << 15) - 1)
+
+    # The tuple test + final compaction run on a STATIC quality-ordered
+    # prefix: a candidate past max(2*capacity, 2048) could only matter
+    # when >2048 mutual-NN matches survive AND >capacity of the better
+    # ones fail the tuple test — the output keeps the best `capacity` by
+    # quality regardless. A 4x shorter candidate axis makes the 100-trial
+    # tuple test and the compaction sort 4x cheaper.
+    tt = min(n_cand, max(2 * capacity, 2048))
+    packed_tt = packed_st[:tt]
+    ic_t = jnp.arange(tt, dtype=jnp.int32)
+    ncorr_t = jnp.minimum(ncorr, tt)
+    cand_pos = ic_t < ncorr_t
+    cand_src = packed_tt >> 15
+    cand_tgt = packed_tt & ((1 << 15) - 1)
 
     keep = cand_pos
     if use_tuple_test:
-        # one (3, n_cand) gather per side instead of three 1-D ones
+        # one (3, tt) gather per side instead of three 1-D ones
         cs3 = jnp.take(src_xyz.T, cand_src, axis=1)
         ct3 = jnp.take(tgt_xyz.T, cand_tgt, axis=1)
         cs = tuple(cs3[c] for c in range(3))
         ct = tuple(ct3[c] for c in range(3))
-        tuple_keep = tuple_test_keep(cs, ct, cand_pos, ncorr,
+        tuple_keep = tuple_test_keep(cs, ct, cand_pos, ncorr_t,
                                      tuple_scale=tuple_scale,
                                      trials_per_corr=trials_per_corr,
                                      seed=seed)
@@ -231,19 +249,15 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         keep = jnp.where(jnp.sum(tuple_keep) >= tuple_min_keep,
                          tuple_keep, cand_pos)
 
-    # Final compaction into the fixed capacity: kept pairs first, ordered
-    # best-descriptor-distance-first, so capacity overflow drops the WORST
-    # matches instead of a spatially biased tail. ONE 2-operand sort on
-    # (quality bits, packed pair); ties in quality break by the packed
-    # pair for determinism (lax.sort is lexicographic over operands...
-    # only over num_keys — pass num_keys=2 so equal-quality order is
-    # pinned by the pair id instead of batch position).
-    inf_bits = jnp.iinfo(jnp.int32).max
-    qkey = jnp.where(keep, qbits, inf_bits)
-    _, packed_sel = jax.lax.sort((qkey, packed_st), num_keys=2)
+    # Final compaction into the fixed capacity: kept pairs first. The
+    # prefix is already quality-ordered, so compacting on POSITION keeps
+    # best-first order and capacity overflow still drops the WORST
+    # matches instead of a spatially biased tail.
+    poskey = jnp.where(keep, ic_t, tt + ic_t)
+    _, packed_sel = jax.lax.sort((poskey, packed_tt), num_keys=1)
     kcount = jnp.sum(keep).astype(jnp.int32)
-    sel = (packed_sel[:capacity] if n_cand >= capacity
-           else jnp.pad(packed_sel, (0, capacity - n_cand)))
+    sel = (packed_sel[:capacity] if tt >= capacity
+           else jnp.pad(packed_sel, (0, capacity - tt)))
     out_mask = jnp.arange(capacity) < jnp.minimum(kcount, capacity)
     s_idx = jnp.where(out_mask, sel >> 15, 0).astype(jnp.int32)
     t_idx = jnp.where(out_mask, sel & ((1 << 15) - 1), 0).astype(jnp.int32)

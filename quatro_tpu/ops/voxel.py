@@ -79,9 +79,10 @@ def _compact1by2(v: "jnp.ndarray") -> "jnp.ndarray":
     return v.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("capacity",))
+@partial(jax.jit, static_argnames=("capacity", "active_cap"))
 def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
-                     voxel_size: float, capacity: int):
+                     voxel_size: float, capacity: int,
+                     active_cap: int | None = None):
     """Centroid-per-voxel downsampling.
 
     points: (N, 3); mask: (N,). Returns (out_points (capacity, 3),
@@ -93,6 +94,17 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     scans of a pair keep largely the SAME structure — truncating in
     voxel-key order instead would keep a per-scan axis-aligned slab,
     which destroys cross-scan overlap exactly when capacity binds.
+
+    active_cap: static bound on the number of VALID input points. The
+    Morton sort pushes invalid entries to the end (sentinel keys), so
+    every post-sort op (run-length scans, prefix sums, occupancy
+    ranking) runs on the [:active_cap] prefix only — measured round 5:
+    the segment clouds this stage consumes carry 5-11% valid points in a
+    131072-point capacity, so capacity-sized scans were mostly moving
+    sentinels. If MORE than active_cap points are valid, the excess
+    (highest Morton keys, a spatial corner) is silently dropped — size
+    it with headroom (pipeline default: PipelineConfig.max_segment_points
+    = 65536 against typical KITTI-scale segment counts of 30-60k).
     """
     n = points.shape[0]
     assert n <= (1 << _PBITS), "rank-key packing supports up to 131072 pts"
@@ -136,6 +148,11 @@ def voxel_downsample(points: jnp.ndarray, mask: jnp.ndarray,
     pf_xy = (qx << _FBITS) + qy
 
     key_s, pfxy_s, qz_s = jax.lax.sort((key, pf_xy, qz), num_keys=1)
+    if active_cap is not None and active_cap < n:
+        key_s = key_s[:active_cap]
+        pfxy_s = pfxy_s[:active_cap]
+        qz_s = qz_s[:active_cap]
+        n = active_cap
     valid_b = key_s != sentinel
     inv_fscale = jnp.asarray(1.0 / _FSCALE, dtype)
     fmask = (1 << _FBITS) - 1

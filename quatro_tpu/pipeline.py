@@ -57,8 +57,13 @@ def extract_features(points: jnp.ndarray, mask: jnp.ndarray,
     use_pallas = config.fpfh.use_pallas_frontend
     if use_pallas is None:
         use_pallas = use_pallas_frontend_default()
+    # active_cap: the segment mask carries 5-11% valid points in the raw
+    # capacity (measured round 5) — post-sort ops run on the
+    # max_segment_points prefix instead of shuffling capacity-sized
+    # sentinel tails (see ops/voxel.py).
     vox_pts, vox_mask = voxel_downsample(points, mask, config.voxel_size,
-                                         config.max_voxels)
+                                         config.max_voxels,
+                                         active_cap=config.max_segment_points)
     if use_pallas and vox_pts.shape[0] % 512 == 0:
         # Fused VMEM-resident kernels: the XLA dense form's (T, V)
         # intermediates cost ~140 GB/pair of HBM traffic (BENCH_r02 cost
@@ -122,8 +127,9 @@ def register_features(src: PointBatch, tgt: PointBatch,
         trials_per_corr=config.fpfh.tuple_trials_per_corr,
         seed=config.fpfh.tuple_seed)
 
-    if config.solver.num_hypotheses > 1:
-        # Multi-hypothesis: solve the K largest distinct cliques and keep
+    if config.solver.total_hypotheses > 1:
+        # Multi-hypothesis: solve the K largest distinct cliques (plus any
+        # clique-independent vote hypotheses, solver/vote.py) and keep
         # the one whose pose actually aligns the voxel clouds (planar
         # aliasing can make the wrong clique the largest — see
         # solver/quatro.py::register_hypotheses).
@@ -188,8 +194,10 @@ def preprocess(points: jnp.ndarray, mask: jnp.ndarray,
         if not config.use_subclustering:
             return pw.nonground, pw.ground
         proj = segment_cloud(points, pw.nonground, config.lidar,
-                             config.projection, ground_mode="Patchwork")
+                             config.projection, ground_mode="Patchwork",
+                             max_points=config.max_nonground_points)
         return proj.valid_segments, pw.ground
+    # LeGO-LOAM mode clusters the RAW cloud — no nonground bound applies.
     proj = segment_cloud(points, mask, config.lidar, config.projection,
                          ground_mode="LeGO-LOAM")
     return proj.valid_segments, proj.ground

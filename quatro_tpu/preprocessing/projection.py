@@ -50,7 +50,8 @@ _IBITS = 17
 
 
 def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
-                           lidar: LidarConfig, min_range: float = 0.1):
+                           lidar: LidarConfig, min_range: float = 0.1,
+                           max_points: int | None = None):
     """Spherical projection (reference: include/imageProjection.hpp:308-352).
 
     Returns (rows (N,), cols (N,), ranges (N,), in_image (N,), flat (N,)
@@ -108,12 +109,21 @@ def project_to_range_image(points: jnp.ndarray, mask: jnp.ndarray,
     sortkey = (flat.astype(jnp.uint32) << _RBITS) + rq
     key_s, packed_s = jax.lax.sort(
         (sortkey, jnp.where(ok, packed, sentinel)), num_keys=1)
+    # Post-sort static prefix: invalid points carry the sentinel key and
+    # sort last, so when the VALID count is bounded (the Patchwork path
+    # feeds a nonground mask with a configured max_nonground_points cap),
+    # the run-start detection and the owner scatter only touch the
+    # prefix. Overflow beyond the cap silently drops the highest pixel
+    # ids (bounded degradation: those pixels read as empty).
+    ac = n if (max_points is None or max_points >= n) else max_points
+    key_s = key_s[:ac]
+    packed_s = packed_s[:ac]
     flat_s = (key_s >> _RBITS).astype(jnp.int32)
     is_start = jnp.concatenate([jnp.ones(1, bool),
                                 flat_s[1:] != flat_s[:-1]])
-    pos = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.arange(ac, dtype=jnp.int32)
     scat_idx = jnp.where(is_start & (flat_s < npix), flat_s, npix + pos)
-    owner_key = jnp.full((npix + n,), sentinel, jnp.uint32) \
+    owner_key = jnp.full((npix + ac,), sentinel, jnp.uint32) \
         .at[scat_idx].set(packed_s, unique_indices=True)[:npix]
     empty = owner_key == sentinel
     owner = jnp.where(
@@ -311,21 +321,28 @@ def label_components(rimg: jnp.ndarray, valid: jnp.ndarray,
     return labels_out, feasible, pix_feasible
 
 
-@partial(jax.jit, static_argnames=("lidar", "cfg", "ground_mode"))
+@partial(jax.jit, static_argnames=("lidar", "cfg", "ground_mode",
+                                   "max_points"))
 def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
                   lidar: LidarConfig = LidarConfig(),
                   cfg: ProjectionConfig = ProjectionConfig(),
-                  ground_mode: str = "Patchwork") -> ProjectionResult:
+                  ground_mode: str = "Patchwork",
+                  max_points: int | None = None) -> ProjectionResult:
     """Full ImageProjection::segmentCloud equivalent
     (reference: include/imageProjection.hpp:273-294).
 
     In "Patchwork" mode the input is already non-ground; empty pixels are
     simply invalid. In "LeGO-LOAM" mode the vertical-angle ground test
     (:365-399) marks ground pixels before clustering.
+
+    max_points: static bound on the VALID point count — the pipeline
+    passes PipelineConfig.max_nonground_points in Patchwork mode (the
+    ownership sort + scatter then run on that prefix; see
+    project_to_range_image).
     """
     rows_n, cols_n = lidar.n_scan, lidar.horizon_scan
     row, col, rng, ok, flat, rimg, owner = project_to_range_image(
-        points, mask, lidar, cfg.min_range)
+        points, mask, lidar, cfg.min_range, max_points=max_points)
     occupied = owner >= 0
 
     if ground_mode == "LeGO-LOAM":

@@ -216,6 +216,12 @@ def register_hypotheses(
     (select_inliers with inlier_selection_mode / the k-core shortcut), so
     raising K is a strict superset of the K=1 behavior; hypotheses 1..K-1
     are the next largest greedy cliques distinct from it and each other.
+
+    With config.num_vote_hypotheses > 0, that many ADDITIONAL hypotheses
+    come from the clique-independent (yaw, translation) vote generator
+    (solver/vote.py) — the recovery path for planar aliasing burying the
+    correct consensus set below every top-K clique. The returned leading
+    axis is then k + num_vote_hypotheses, clique hypotheses first.
     """
     dtype = src.dtype
     has_prior = prior_ryrx is not None
@@ -241,6 +247,16 @@ def register_hypotheses(
     cliques, sizes = clique_mod.top_distinct_cliques(
         jnp.concatenate([sel0[None], grown]), k, force_first=True)
     valid_k = sizes > 1
+
+    if config.num_vote_hypotheses > 0:
+        from quatro_tpu.solver import vote as vote_mod
+        vmasks, vsizes = vote_mod.vote_hypotheses(
+            src, tgt, mask, adj, scale, config.num_vote_hypotheses,
+            bin_m=config.vote_trans_bin_scale * abs(config.noise_bound),
+            num_anchors=config.vote_yaw_anchors,
+            num_bins=config.vote_yaw_bins)
+        cliques = jnp.concatenate([cliques, vmasks])
+        valid_k = jnp.concatenate([valid_k, vsizes >= 3])
 
     return jax.vmap(
         lambda sel, ok: _solve_from_inliers(src, tgt, sel, ok, scale,

@@ -76,13 +76,28 @@ def alignment_overlap(src: jnp.ndarray, src_mask: jnp.ndarray,
 
 def arbitrate_hypotheses(sols, src: jnp.ndarray, src_mask: jnp.ndarray,
                          tgt: jnp.ndarray, tgt_mask: jnp.ndarray,
-                         radius: float | jnp.ndarray):
+                         radius: float | jnp.ndarray,
+                         max_src_points: int | None = 2048):
     """Pick the best of K solution hypotheses by geometric overlap.
 
     sols: a RegistrationSolution pytree with a leading K axis (from
     solver.quatro.register_hypotheses). Invalid hypotheses score -1.
     Returns (winning solution without the K axis, overlaps (K,)).
+
+    max_src_points strided-subsamples the SOURCE side of the overlap
+    check (the target stays full — thinning it would delete true nearest
+    neighbors and bias every score down). The K overlap passes are pure
+    arbitration: at 2048 samples the score's sampling error is ~1/sqrt(n)
+    ~ 2%, far inside the measured correct-vs-wrong separation
+    (0.68-0.81 vs 0.05-0.14), while the (N_src x N_tgt) distance work
+    drops 4x per hypothesis. Source voxels are Morton-ordered
+    (ops/voxel.py), so a stride is a spatially uniform thinning, not an
+    axis-aligned slab. None = full clouds.
     """
+    if max_src_points is not None and src.shape[0] > max_src_points:
+        stride = -(-src.shape[0] // max_src_points)
+        src = src[::stride]
+        src_mask = src_mask[::stride]
     overlaps = jax.vmap(
         lambda r, t: alignment_overlap(src, src_mask, tgt, tgt_mask,
                                        r, t, radius)

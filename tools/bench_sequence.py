@@ -148,11 +148,36 @@ def main():
             stream.close()
         _log("compiled; timing the streamed trajectory")
 
-        stream = make_stream()
+        class TimedStream:
+            """Accumulates time blocked on the loader's next()."""
+
+            def __init__(self, inner):
+                self.inner = inner
+                self.wait = 0.0
+
+            def __iter__(self):
+                it = iter(self.inner)
+                while True:
+                    t0 = time.time()
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        return
+                    self.wait += time.time() - t0
+                    yield item
+
+            def close(self):
+                close = getattr(self.inner, "close", None)
+                if close:
+                    close()
+
+        stream = TimedStream(make_stream())
+        stats = {}
         sols = []
         t_start = time.time()
         for idx, sol, _ovl in run_odometry_windowed(stream, config,
-                                                    window=args.window):
+                                                    window=args.window,
+                                                    stats=stats):
             if sol is not None:
                 sols.append(sol)
         # windowed results are device_get'd inside the generator — the
@@ -162,10 +187,10 @@ def main():
                               + np.asarray(s.translation).sum())
                         for s in sols))
         wall = time.time() - t_start
-        load_wait = float("nan")
-        dispatch_time = float("nan")
-        if hasattr(stream, "close"):
-            stream.close()
+        load_wait = stream.wait
+        dispatch_time = stats.get("dispatch_s", 0.0)
+        fetch_s = stats.get("fetch_s", 0.0)
+        stream.close()
         n_pairs = len(sols)
     else:
       # ---- warm up both jitted programs (extract + register) --------------
@@ -186,6 +211,7 @@ def main():
       sols = []
       load_wait = 0.0
       dispatch_time = 0.0
+      fetch_s = None
       t_start = time.time()
       it = iter(stream)
       for k in range(len(paths)):
@@ -224,6 +250,7 @@ def main():
             "wall_s": round(wall, 3),
             "loader_wait_s": round(load_wait, 3),
             "dispatch_s": round(dispatch_time, 3),
+            "fetch_s": round(fetch_s, 3) if fetch_s is not None else None,
             "loader_wait_frac": round(load_wait / wall, 4),
             "window": args.window,
             "native_loader": use_native,
