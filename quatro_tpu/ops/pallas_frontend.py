@@ -432,8 +432,13 @@ def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out,
     (V, 33) column set in VMEM pads 33 -> 128 lanes and, with the (T, V)
     distance tile, blew the 16 MB VMEM budget at V=8192 — chunking keeps
     the footprint ~6 MB. rows_d: (T, D); cols_d: (C, D) chunk; masks
-    (T, 1)/(1, C) f32; idx_out/d2_out: (T, 1). lim: (1, 1) SMEM active
-    row-tile count (skipped tiles' outputs are masked by the caller).
+    (T, 1)/(1, C) f32; idx_out/d2_out: (T, 1). lim: (1, 2) SMEM active
+    (row-tile, col-chunk) counts — skipping is EXACT either way: a
+    skipped row tile's outputs are masked by the caller, and a skipped
+    column chunk contains only masked columns (all-big distances that
+    could never win). Round 5: only ~2-3k of 8192 voxel slots are
+    occupied on real scans, so ~half the column chunks carry no valid
+    candidate.
 
     Tie semantics match XLA argmin (first minimum): chunks are visited in
     ascending order and only a STRICTLY smaller distance replaces the
@@ -447,7 +452,7 @@ def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out,
         idx_out[:] = jnp.zeros_like(idx_out)
         d2_out[:] = jnp.full_like(d2_out, 3.4e38)
 
-    @pl.when(i < lim[0, 0])
+    @pl.when((i < lim[0, 0]) & (j < lim[0, 1]))
     def _():
         a = rows_d[:]
         b = cols_d[:]
@@ -482,6 +487,21 @@ def _nn_active_rows(maskf: jnp.ndarray) -> jnp.ndarray:
     return ((last + _TNN - 1) // _TNN).astype(jnp.int32)[None, None]
 
 
+def _nn_active_limits(maskf_a: jnp.ndarray, mask_b: jnp.ndarray,
+                      chunk: int) -> jnp.ndarray:
+    """(1, 2) int32: active row-tile count and active column-chunk count
+    (see _nn_kernel — both skips are exact)."""
+    na = maskf_a.shape[0]
+    nb = mask_b.shape[0]
+    ia = jnp.arange(na, dtype=jnp.int32)
+    ib = jnp.arange(nb, dtype=jnp.int32)
+    last_a = jnp.max(jnp.where(maskf_a > 0, ia + 1, 0))
+    last_b = jnp.max(jnp.where(mask_b, ib + 1, 0))
+    return jnp.stack([(last_a + _TNN - 1) // _TNN,
+                      (last_b + chunk - 1) // chunk]).astype(
+        jnp.int32)[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
                              mask_a: jnp.ndarray, mask_b: jnp.ndarray,
@@ -500,7 +520,7 @@ def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     chunk = min(nb, 2048)
     assert nb % chunk == 0, f"Nb={nb} must be a multiple of {chunk}"
     grid = (na // _TNN, nb // chunk)
-    lim_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+    lim_spec = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
                             memory_space=pltpu.SMEM)
     row_spec = pl.BlockSpec((_TNN, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -521,8 +541,8 @@ def nearest_neighbors_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
         out_shape=(jax.ShapeDtypeStruct((na, 1), jnp.int32),
                    jax.ShapeDtypeStruct((na, 1), jnp.float32)),
         interpret=interpret,
-    )(_nn_active_rows(maskf_a), desc_a, desc_b, maskf_a[:, None],
-      mask_b.astype(desc_b.dtype)[None, :])
+    )(_nn_active_limits(maskf_a, mask_b, chunk), desc_a, desc_b,
+      maskf_a[:, None], mask_b.astype(desc_b.dtype)[None, :])
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
     d2 = jnp.where(mask_a, d2[:, 0], big)
     return jnp.where(mask_a, idx[:, 0], 0), d2

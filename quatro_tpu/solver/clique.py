@@ -74,14 +74,17 @@ def max_kcore(adj: jnp.ndarray, mask: jnp.ndarray):
     deg0 = _count_mm(adj_f, alive0)
     hi = jnp.max(jnp.where(mask, deg0, 0.0)).astype(jnp.int32)
 
-    def probe(k):
-        core = _peel_to_kcore(adj_f, alive0, k.astype(jnp.float32))
-        return jnp.sum(core) > 0, core
-
     def body(state):
         lo, hi, best_core = state
         mid = (lo + hi + 1) // 2
-        nonempty, core = probe(mid)
+        # WARM-STARTED probe: every binary-search midpoint satisfies
+        # mid > lo, and the k-core is antitone in k, so the mid-core is a
+        # subset of the current best (lo-)core — peeling can start from
+        # best_core instead of the full vertex set. Fewer peel iterations
+        # per probe (round 5: max_kcore was 0.27 ms/pair of the 0.89
+        # ms/pair clique-selection stage).
+        core = _peel_to_kcore(adj_f, best_core, mid.astype(jnp.float32))
+        nonempty = jnp.sum(core) > 0
         lo = jnp.where(nonempty, mid, lo)
         hi = jnp.where(nonempty, hi, mid - 1)
         best_core = jnp.where(nonempty, core, best_core)
@@ -213,6 +216,13 @@ def improve_cliques_1swap(adj: jnp.ndarray, cliques: jnp.ndarray,
     n = adj.shape[0]
     adj_b = adj.astype(bool)
     adj_f = adj_b.astype(jnp.float32)
+    # The swap search runs on a COMPACTED candidate set: only vertices
+    # missing exactly one member can participate, and on real consistency
+    # graphs there are few of them. The K lowest-index miss1 vertices
+    # preserve the original first-pair determinism exactly whenever
+    # |miss1| <= K (the (N, N) non-neighbour/pair tables this replaces
+    # were ~3x the stage's traffic, measured round 5: 0.42 ms/pair).
+    k_cand = min(128, n)
 
     def one(x0):
         def cond(state):
@@ -230,16 +240,23 @@ def improve_cliques_1swap(adj: jnp.ndarray, cliques: jnp.ndarray,
             add_idx = jnp.argmax(addable)          # first addable (determ.)
 
             miss1 = (cnt == s - 1.0) & outside     # miss exactly one member
-            # the one member each miss1 vertex is NOT adjacent to
-            non_nbr = (1.0 - adj_f) * xf[None, :]  # (N, N)
-            uidx = jnp.argmax(non_nbr, axis=1)
-            pairs = (adj_b & miss1[:, None] & miss1[None, :]
+            iota = jnp.arange(n, dtype=jnp.int32)
+            sel_key = jnp.where(miss1, iota, n)
+            _, idx = jax.lax.top_k(-sel_key, k_cand)  # lowest-index miss1
+            vsel = jnp.take(sel_key, idx) < n
+            rows_b = adj_b[idx]                    # (K, N) row gathers
+            asub = jnp.take(rows_b, idx, axis=1)   # (K, K)
+            # the one member each selected vertex is NOT adjacent to
+            non_nbr = (1.0 - rows_b.astype(jnp.float32)) * xf[None, :]
+            uidx = jnp.argmax(non_nbr, axis=1)     # (K,)
+            pairs = (asub & vsel[:, None] & vsel[None, :]
                      & (uidx[:, None] == uidx[None, :]))
             flat = pairs.reshape(-1)
             pidx = jnp.argmax(flat)                # first True (determ.)
             can_swap = flat[pidx]
-            v1, v2 = pidx // n, pidx % n
-            u = uidx[v1]
+            v1 = idx[pidx // k_cand]
+            v2 = idx[pidx % k_cand]
+            u = uidx[pidx // k_cand]
 
             x_add = x.at[add_idx].set(True)
             x_swap = x.at[u].set(False).at[v1].set(True).at[v2].set(True)
@@ -431,6 +448,39 @@ def top_distinct_cliques(cliques: jnp.ndarray, k: int,
     picked_sizes = jnp.where(jnp.arange(k) < jnp.sum(taken),
                              sizes[pick_order], 0.0)
     return picked, picked_sizes
+
+
+def select_inliers_with_candidates(adj: jnp.ndarray, mask: jnp.ndarray,
+                                   kcore_threshold: float = 0.5,
+                                   num_seeds: int = 16, max_size: int = 512,
+                                   swap_rounds: int = 0, top: int = 8):
+    """select_inliers(mode="clique") AND the improved grown-candidate set,
+    computing the k-core, seed scores, growth, and swap improvement ONCE.
+
+    register_hypotheses previously ran the whole growth pipeline twice —
+    once inside select_inliers for hypothesis 0 and once for the
+    candidate cliques (measured round 5 as part of a 1.4 ms/pair
+    multi-hypothesis premium). Selection semantics are identical to
+    select_inliers for top == 8 (its improve_top_cliques default); with
+    top > 8 more candidates receive swap improvement, which can only
+    grow the selected clique.
+
+    Returns (sel (N,), valid (), grown (S, N) improved candidates).
+    """
+    max_core, kcore_mask = max_kcore(adj, mask)
+    scores = kcore_mask.astype(jnp.float32) * 1e6 + _count_mm(adj, mask)
+    grown = grow_greedy_cliques(adj, scores, mask, num_seeds=num_seeds,
+                                max_size=max_size)
+    grown = improve_top_cliques(adj, grown, mask, top=top,
+                                rounds=swap_rounds)
+    clique_sel = grown[jnp.argmax(jnp.sum(grown, axis=1))] & mask
+    kcore_sel = kcore_mask & mask & (max_core >= 1)
+    n_valid = jnp.sum(mask).astype(jnp.float32)
+    use_kcore = jnp.logical_and(
+        max_core >= 1,
+        max_core.astype(jnp.float32) >= kcore_threshold * n_valid)
+    sel = jnp.where(use_kcore, kcore_sel, clique_sel)
+    return sel, jnp.sum(sel) > 1, grown
 
 
 def select_inliers(adj: jnp.ndarray, mask: jnp.ndarray, mode: str = "clique",

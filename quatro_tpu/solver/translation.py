@@ -29,12 +29,22 @@ class CoteResult(NamedTuple):
 
 
 def _estimate_axis(x: jnp.ndarray, ranges: jnp.ndarray, mask: jnp.ndarray,
-                   use_median: bool):
+                   use_median: bool, uniform_range: bool = False):
     """Truncated-LS consensus estimate for one axis.
 
     Port of Quatro::estimate (include/quatro.hpp:618-747) with static
     shapes: masked correspondences contribute zero-weight events sorted to
     the end.  x: (N,) values; ranges: (N,) per-point noise bounds alpha.
+
+    uniform_range=True (the pipeline's case — the driver always passes
+    ranges = beta everywhere, mirroring the reference's constant
+    noise-bound alphas, include/quatro.hpp:600-604): with a constant
+    alpha the six running series collapse — dot_w = card / beta^2,
+    dot_xw = sum_x / beta^2 (so x_hat = sum_x / card) and range_rem =
+    beta * (M - card) — leaving THREE cumsums; and the sort carries its
+    payloads directly (one multi-operand lax.sort) instead of argsort +
+    five gathers. Measured round 5: COTE standalone 0.54 ms/pair was
+    second only to clique selection in the solver.
     """
     dtype = x.dtype
     n = x.shape[0]
@@ -47,23 +57,45 @@ def _estimate_axis(x: jnp.ndarray, ranges: jnp.ndarray, mask: jnp.ndarray,
     src_idx = jnp.concatenate([jnp.arange(n), jnp.arange(n)])
     values = jnp.where(eps != 0, values, big)              # masked sort last
 
-    order = jnp.argsort(values)
-    eps_s = eps[order]
-    idx_s = src_idx[order]
-    x_s = x[idx_s] * jnp.abs(eps_s)
-    rng_s = ranges[idx_s] * jnp.abs(eps_s)
-    weights = jnp.where(mask, 1.0 / jnp.maximum(ranges * ranges, 1e-30), 0.0)
-    w_s = weights[idx_s]
+    if uniform_range:
+        beta = jnp.max(jnp.where(mask, ranges, 0.0))
+        x2 = jnp.concatenate([x, x])
+        if use_median:
+            values, eps_s, x_se, idx_s = jax.lax.sort(
+                (values, eps, x2, src_idx), num_keys=1)
+        else:
+            values, eps_s, x_se = jax.lax.sort((values, eps, x2),
+                                               num_keys=1)
+            idx_s = None
+        x_s = x_se * jnp.abs(eps_s)
+        cs3 = jnp.cumsum(jnp.stack([eps_s, eps_s * x_s,
+                                    eps_s * x_s * x_s]), axis=-1)
+        card, sum_x, sum_x2 = cs3[0], cs3[1], cs3[2]
+        total = jnp.sum(maskf)
+        inv_b2 = 1.0 / jnp.maximum(beta * beta, 1e-30)
+        dot_w = card * inv_b2
+        dot_xw = sum_x * inv_b2
+        range_rem = beta * (total - card)
+    else:
+        order = jnp.argsort(values)
+        eps_s = eps[order]
+        idx_s = src_idx[order]
+        x_s = x[idx_s] * jnp.abs(eps_s)
+        rng_s = ranges[idx_s] * jnp.abs(eps_s)
+        weights = jnp.where(mask,
+                            1.0 / jnp.maximum(ranges * ranges, 1e-30), 0.0)
+        w_s = weights[idx_s]
 
-    card = jnp.cumsum(eps_s)                               # consensus size
-    dot_w = jnp.cumsum(eps_s * w_s)
-    dot_xw = jnp.cumsum(eps_s * w_s * x_s)
-    sum_x = jnp.cumsum(eps_s * x_s)
-    sum_x2 = jnp.cumsum(eps_s * x_s * x_s)
-    # `ranges_inverse_sum` (sic) starts at sum(ranges) and decreases by
-    # eps*range per event (truncated-loss bookkeeping, quatro.hpp:652,696).
-    range_total = jnp.sum(jnp.where(mask, ranges, 0.0))
-    range_rem = range_total - jnp.cumsum(eps_s * rng_s)
+        card = jnp.cumsum(eps_s)                           # consensus size
+        dot_w = jnp.cumsum(eps_s * w_s)
+        dot_xw = jnp.cumsum(eps_s * w_s * x_s)
+        sum_x = jnp.cumsum(eps_s * x_s)
+        sum_x2 = jnp.cumsum(eps_s * x_s * x_s)
+        # `ranges_inverse_sum` (sic) starts at sum(ranges) and decreases
+        # by eps*range per event (truncated-loss bookkeeping,
+        # quatro.hpp:652,696).
+        range_total = jnp.sum(jnp.where(mask, ranges, 0.0))
+        range_rem = range_total - jnp.cumsum(eps_s * rng_s)
 
     x_hat = dot_xw / jnp.where(dot_w == 0, 1.0, dot_w)
     cost = card * x_hat * x_hat + sum_x2 - 2.0 * sum_x * x_hat + range_rem
@@ -110,6 +142,7 @@ def solve_translation(src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray,
     ranges = jnp.full_like(raw, beta)
 
     est, inl = jax.vmap(
-        lambda xr, rr, m: _estimate_axis(xr, rr, m, use_median),
+        lambda xr, rr, m: _estimate_axis(xr, rr, m, use_median,
+                                         uniform_range=True),
         in_axes=(0, 0, None))(raw, ranges, mask)
     return CoteResult(est, jnp.all(inl, axis=0) & mask)

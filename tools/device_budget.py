@@ -182,8 +182,9 @@ def main():
         "preprocess": ((tile("raw_s"), tile("rawm_s")),
                        lambda p, m: preprocess(p, m, cfg)[0]),
         "voxel": ((tile("raw_s"), tile("seg_s")),
-                  lambda p, m: voxel_downsample(p, m, cfg.voxel_size,
-                                                cfg.max_voxels)),
+                  lambda p, m: voxel_downsample(
+                      p, m, cfg.voxel_size, cfg.max_voxels,
+                      active_cap=cfg.max_segment_points)),
         "normals": ((tile("vox_s"), tile("voxm_s")),
                     lambda p, m: _normals(p, m, cfg.fpfh.normal_radius)),
         "fpfh": ((tile("vox_t"), tile("nrm_t"), tile("nrmv_t"),
