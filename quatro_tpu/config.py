@@ -167,6 +167,12 @@ class FPFHConfig:
     max_neighbors_normal: int = 48
     max_neighbors_fpfh: int = 64
     use_crosscheck: bool = True
+    # Robustness addition: when fewer than this many MUTUAL matches
+    # survive the crosscheck, fall back to the one-directional union
+    # candidate set (measured eval failure: a hard pair produced 18
+    # mutual matches with ONE GT-consistent — starvation no solver-side
+    # mechanism can recover from). 0 disables the fallback.
+    crosscheck_min_matches: int = 64
     use_tuple_test: bool = True
     tuple_scale: float = 0.95
     tuple_trials_per_corr: int = 100

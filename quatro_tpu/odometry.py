@@ -107,6 +107,7 @@ class OdometryRunner:
             src.desc_mask, tgt.desc_mask,
             capacity=f.max_correspondences,
             use_crosscheck=f.use_crosscheck,
+            crosscheck_min_matches=f.crosscheck_min_matches,
             use_tuple_test=f.use_tuple_test, tuple_scale=f.tuple_scale,
             trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed)
         overlap = None

@@ -149,14 +149,16 @@ def tuple_test_keep(cs: tuple, ct: tuple, cand_pos: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("capacity", "use_crosscheck",
                                    "use_tuple_test", "trials_per_corr",
-                                   "seed", "tuple_min_keep"))
+                                   "seed", "tuple_min_keep",
+                                   "crosscheck_min_matches"))
 def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
                    src_desc: jnp.ndarray, tgt_desc: jnp.ndarray,
                    src_mask: jnp.ndarray, tgt_mask: jnp.ndarray,
                    capacity: int = 1024, use_crosscheck: bool = True,
                    use_tuple_test: bool = True,
                    tuple_scale: float = 0.95, trials_per_corr: int = 100,
-                   seed: int = 0, tuple_min_keep: int = 8) -> Correspondences:
+                   seed: int = 0, tuple_min_keep: int = 8,
+                   crosscheck_min_matches: int = 64) -> Correspondences:
     """Full matcher: NN candidates -> tuple test -> compacted output.
 
     Semantics follow Matcher::calculateCorrespondences
@@ -183,19 +185,36 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
     nn_ba, d2_ba = _nearest_neighbors(tgt_desc, src_desc,
                                       tgt_mask, src_mask)  # (Nb,)
     mutual_a = (nn_ba[nn_ab] == ia) & src_mask & tgt_mask[nn_ab]
+    mutual_b = (nn_ab[nn_ba] == ib) & tgt_mask & src_mask[nn_ba]
+    flag_a_union = src_mask & tgt_mask[nn_ab]
+    flag_b_union = tgt_mask & src_mask[nn_ba] & ~mutual_b  # dedup mutuals
 
-    if use_crosscheck:
+    if use_crosscheck and crosscheck_min_matches > 0:
+        # Robustness addition over the reference: on hard pairs mutual-NN
+        # can STARVE (measured eval seed 18: 18 mutual matches, ONE of
+        # them GT-consistent — no downstream mechanism can recover a pose
+        # from that). When fewer than crosscheck_min_matches mutual pairs
+        # survive, fall back to the one-directional union (the reference's
+        # crosscheck=false candidate set) — the tuple test and the
+        # solver's clique stage are the real outlier filters.
+        n_mutual = jnp.sum(mutual_a)
+        use_union = n_mutual < crosscheck_min_matches
+        cand_src0 = jnp.concatenate([ia, nn_ba])
+        cand_tgt0 = jnp.concatenate([nn_ab, ib])
+        cand_flag = jnp.where(
+            use_union,
+            jnp.concatenate([flag_a_union, flag_b_union]),
+            jnp.concatenate([mutual_a, jnp.zeros((nb,), bool)]))
+        cand_q0 = jnp.concatenate([d2_ab, d2_ba])
+    elif use_crosscheck:
         cand_src0, cand_tgt0, cand_flag = ia, nn_ab, mutual_a
         cand_q0 = d2_ab
     else:
         # One-directional union; a mutual pair appears on both sides, so
         # drop its tgt-side copy.
-        mutual_b = (nn_ab[nn_ba] == ib) & tgt_mask & src_mask[nn_ba]
         cand_src0 = jnp.concatenate([ia, nn_ba])
         cand_tgt0 = jnp.concatenate([nn_ab, ib])
-        cand_flag = jnp.concatenate(
-            [src_mask & tgt_mask[nn_ab],
-             tgt_mask & src_mask[nn_ba] & ~mutual_b])
+        cand_flag = jnp.concatenate([flag_a_union, flag_b_union])
         cand_q0 = jnp.concatenate([d2_ab, d2_ba])
 
     n_cand = cand_src0.shape[0]

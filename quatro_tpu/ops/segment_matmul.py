@@ -77,17 +77,38 @@ def _split_dot_oh_vals(oh16, vals, dims, terms=3):
     return out
 
 
-def _seg_kernel(p_pad: int, ids, vals, out):
+def _tile_limit(in_range: jnp.ndarray, tile: int) -> jnp.ndarray:
+    """(1, 1) int32 count of leading tiles containing ANY in-range id.
+
+    Trailing tiles past the last in-range id hold only dropped ids, so
+    skipping their MXU passes is exact for any mask pattern — and these
+    kernels are MXU-pass-bound, not memory-bound (docstring above), so
+    compute skipping is the whole win. Callers with valid-prefix inputs
+    (PointBatch packs valid points first) skip ~20% of tiles at KITTI
+    occupancy and ~85% on sparse sensors (VLP-16 in a 131k capacity).
+    """
+    n = in_range.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    last = jnp.max(jnp.where(in_range, iota + 1, 0))
+    return ((last + tile - 1) // tile).astype(jnp.int32)[None, None]
+
+
+_LIM_SPEC = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+def _seg_kernel(p_pad: int, lim, ids, vals, out):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out[:] = jnp.zeros_like(out)
 
-    oh = _oh_tile(ids, p_pad, jnp.bfloat16)       # (P, T)
-    # (P, T) x (K, T) contracting T -> (P, K), split-bf16 (see helper)
-    out[:] = out[:] + _split_dot_oh_vals(
-        oh, vals[:], (((1,), (1,)), ((), ())))
+    @pl.when(i < lim[0, 0])
+    def _():
+        oh = _oh_tile(ids, p_pad, jnp.bfloat16)   # (P, T)
+        # (P, T) x (K, T) contracting T -> (P, K), split-bf16 (see helper)
+        out[:] = out[:] + _split_dot_oh_vals(
+            oh, vals[:], (((1,), (1,)), ((), ())))
 
 
 def _lookup_dot(oh16, tab):
@@ -139,7 +160,8 @@ def segment_sums(ids: jnp.ndarray, vals: jnp.ndarray, p_pad: int,
     return pl.pallas_call(
         functools.partial(_seg_kernel, p_pad),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, _T), lambda i: (0, i),
+        in_specs=[_LIM_SPEC,
+                  pl.BlockSpec((1, _T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((k, _T), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
@@ -148,30 +170,33 @@ def segment_sums(ids: jnp.ndarray, vals: jnp.ndarray, p_pad: int,
         out_shape=jax.ShapeDtypeStruct((p_pad, k), jnp.float32),
         compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(ids[None, :], vals)
+    )(_tile_limit((ids >= 0) & (ids < p_pad), _T), ids[None, :], vals)
 
 
-def _hist_kernel(a_pad: int, b_pad: int, ids_a, ids_b, w, out):
+def _hist_kernel(a_pad: int, b_pad: int, lim, ids_a, ids_b, w, out):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out[:] = jnp.zeros_like(out)
 
-    oh_a = _oh_tile(ids_a, a_pad)                 # (A, T)
-    oh_b = _oh_tile(ids_b, b_pad)                 # (B, T)
-    k = w.shape[0]
-    for kk in range(k):
-        # (A, T) x (B, T) contracting T -> (A, B), weighted by channel kk.
-        # DEFAULT precision on purpose: the one-hot side is exact in bf16
-        # and the weight channel tolerates bf16 (counts stay exact; a
-        # weighted channel sees ~0.4% relative error — the Patchwork seed
-        # consumer's budget is centimetres). HIGHEST (6-pass) measured
-        # ~1.4 ms/item at Z=128 — 6x the kernel's own roofline.
-        out[kk] = out[kk] + jax.lax.dot_general(
-            oh_a, oh_b * w[kk:kk + 1], dimension_numbers=(((1,), (1,)),
-                                                          ((), ())),
-            preferred_element_type=jnp.float32)
+    @pl.when(i < lim[0, 0])
+    def _():
+        oh_a = _oh_tile(ids_a, a_pad)             # (A, T)
+        oh_b = _oh_tile(ids_b, b_pad)             # (B, T)
+        k = w.shape[0]
+        for kk in range(k):
+            # (A, T) x (B, T) contracting T -> (A, B), weighted by channel
+            # kk. DEFAULT precision on purpose: the one-hot side is exact
+            # in bf16 and the weight channel tolerates bf16 (counts stay
+            # exact; a weighted channel sees ~0.4% relative error — the
+            # Patchwork seed consumer's budget is centimetres). HIGHEST
+            # (6-pass) measured ~1.4 ms/item at Z=128 — 6x the kernel's
+            # own roofline.
+            out[kk] = out[kk] + jax.lax.dot_general(
+                oh_a, oh_b * w[kk:kk + 1],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("a_pad", "b_pad", "interpret"))
@@ -200,7 +225,8 @@ def cross_histogram(ids_a: jnp.ndarray, ids_b: jnp.ndarray,
     return pl.pallas_call(
         functools.partial(_hist_kernel, a_pad, b_pad),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, _TH), lambda i: (0, i),
+        in_specs=[_LIM_SPEC,
+                  pl.BlockSpec((1, _TH), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, _TH), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -211,7 +237,9 @@ def cross_histogram(ids_a: jnp.ndarray, ids_b: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((k, a_pad, b_pad), jnp.float32),
         compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(ids_a[None, :], ids_b[None, :], weights)
+    )(_tile_limit((ids_a >= 0) & (ids_a < a_pad)
+                  & (ids_b >= 0) & (ids_b < b_pad), _TH),
+      ids_a[None, :], ids_b[None, :], weights)
 
 
 def _moment_rows(chan):
@@ -236,18 +264,22 @@ def _lookup_member(ids, chan, tab, p_cnt, oh16):
     return proj, vals[3:4], vals[4:5], member
 
 
-def _fit_kernel(p_pad: int, p_cnt: int, terms: int, ids, chan, tab, out):
+def _fit_kernel(p_pad: int, p_cnt: int, terms: int, lim, ids, chan, tab,
+                out):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out[:] = jnp.zeros_like(out)
 
-    oh = _oh_tile(ids, p_pad, jnp.bfloat16)       # (P, T)
-    _, _, _, member = _lookup_member(ids[:], chan[:], tab[:], p_cnt, oh)
-    mom = _moment_rows(chan[:]) * member.astype(jnp.float32)   # (10, T)
-    out[:] = out[:] + _split_dot_oh_vals(
-        oh, mom, (((1,), (1,)), ((), ())), terms=terms)
+    @pl.when(i < lim[0, 0])
+    def _():
+        oh = _oh_tile(ids, p_pad, jnp.bfloat16)   # (P, T)
+        _, _, _, member = _lookup_member(ids[:], chan[:], tab[:], p_cnt,
+                                         oh)
+        mom = _moment_rows(chan[:]) * member.astype(jnp.float32)  # (10, T)
+        out[:] = out[:] + _split_dot_oh_vals(
+            oh, mom, (((1,), (1,)), ((), ())), terms=terms)
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "exact",
@@ -284,7 +316,8 @@ def fit_iteration_moments(ids: jnp.ndarray, chan: jnp.ndarray,
     return pl.pallas_call(
         functools.partial(_fit_kernel, p_pad, p_cnt, 3 if exact else 1),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, _TF), lambda i: (0, i),
+        in_specs=[_LIM_SPEC,
+                  pl.BlockSpec((1, _TF), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((5, _TF), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -295,7 +328,8 @@ def fit_iteration_moments(ids: jnp.ndarray, chan: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((p_pad, 10), jnp.float32),
         compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(ids[None, :], chan, tab)
+    )(_tile_limit((ids >= 0) & (ids < p_cnt), _TF), ids[None, :], chan,
+      tab)
 
 
 def _code_from(ids_row, proj, th, flags_f, p_cnt):
@@ -311,11 +345,21 @@ def _code_from(ids_row, proj, th, flags_f, p_cnt):
             + 4 * rev.astype(jnp.int32) + 8 * rej.astype(jnp.int32))
 
 
-def _classify_kernel(p_pad: int, p_cnt: int, ids, chan, tab, out):
-    oh = _oh_tile(ids, p_pad, jnp.bfloat16)
-    proj, th, flags_f, _ = _lookup_member(ids[:], chan[:], tab[:], p_cnt,
-                                          oh)
-    out[:] = _code_from(ids[:], proj, th, flags_f, p_cnt)
+def _classify_kernel(p_pad: int, p_cnt: int, lim, ids, chan, tab, out):
+    i = pl.program_id(0)
+
+    @pl.when(i < lim[0, 0])
+    def _():
+        oh = _oh_tile(ids, p_pad, jnp.bfloat16)
+        proj, th, flags_f, _ = _lookup_member(ids[:], chan[:], tab[:],
+                                              p_cnt, oh)
+        out[:] = _code_from(ids[:], proj, th, flags_f, p_cnt)
+
+    @pl.when(i >= lim[0, 0])
+    def _():
+        # tiles past the last valid id carry only dropped points, whose
+        # code is 0 — write it (the block would otherwise be garbage)
+        out[:] = jnp.zeros_like(out)
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "interpret"))
@@ -336,7 +380,8 @@ def classify_points(ids: jnp.ndarray, chan: jnp.ndarray, tab: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_classify_kernel, p_pad, p_cnt),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, _TF), lambda i: (0, i),
+        in_specs=[_LIM_SPEC,
+                  pl.BlockSpec((1, _TF), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((5, _TF), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
@@ -347,7 +392,8 @@ def classify_points(ids: jnp.ndarray, chan: jnp.ndarray, tab: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
         compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(ids[None, :], chan, tab)
+    )(_tile_limit((ids >= 0) & (ids < p_cnt), _TF), ids[None, :], chan,
+      tab)
     return out[0]
 
 
@@ -381,7 +427,19 @@ def table_lookup(ids: jnp.ndarray, tab: jnp.ndarray,
     )(ids[None, :], tab)
 
 
-def _imglookup_kernel(rows: int, cols: int, t: int, ids, img, out):
+def _imglookup_kernel(rows: int, cols: int, t: int, lim, ids, img, out):
+    i = pl.program_id(0)
+
+    @pl.when(i >= lim[0, 0])
+    def _():
+        out[:] = jnp.zeros_like(out)
+
+    @pl.when(i < lim[0, 0])
+    def _():
+        _imglookup_body(rows, cols, t, ids, img, out)
+
+
+def _imglookup_body(rows: int, cols: int, t: int, ids, img, out):
     # per-point image read v[i] = img[ids[i] // cols, ids[i] % cols] as two
     # one-hot contractions: M = ohr^T @ img gives each point its ROW of the
     # image; the col one-hot then selects elementwise (no MXU gather).
@@ -415,17 +473,22 @@ def image_lookup(flat_ids: jnp.ndarray, img: jnp.ndarray, rows: int,
     (rows, T) row-one-hot contraction hands every point its image row,
     and a (T, cols) col-one-hot selects within it on the VPU. Values are
     reconstructed split-exact, so integer words up to 2^24 survive.
-    flat_ids must lie in [0, rows*cols).
+    Ids outside [0, rows*cols) read as 0 (their one-hots miss every row),
+    and tiles past the LAST in-range id are skipped wholesale (zero
+    output) — callers with valid-prefix layouts pay only for real points.
     """
     n = flat_ids.shape[0]
     t = 1024
     if not (jax.default_backend() == "tpu" or interpret) or n % t != 0:
-        return jnp.take(img.reshape(-1), flat_ids)
+        flat_c = jnp.clip(flat_ids, 0, rows * cols - 1)
+        in_r = (flat_ids >= 0) & (flat_ids < rows * cols)
+        return jnp.where(in_r, jnp.take(img.reshape(-1), flat_c), 0.0)
     grid = (n // t,)
     out = pl.pallas_call(
         functools.partial(_imglookup_kernel, rows, cols, t),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, t), lambda i: (0, i),
+        in_specs=[_LIM_SPEC,
+                  pl.BlockSpec((1, t), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((rows, cols), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
@@ -434,5 +497,6 @@ def image_lookup(flat_ids: jnp.ndarray, img: jnp.ndarray, rows: int,
         out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
         compiler_params=_BIG_VMEM,
         interpret=interpret,
-    )(flat_ids[None, :], img.reshape(rows, cols).astype(jnp.float32))
+    )(_tile_limit((flat_ids >= 0) & (flat_ids < rows * cols), t),
+      flat_ids[None, :], img.reshape(rows, cols).astype(jnp.float32))
     return out[0]

@@ -122,6 +122,7 @@ def register_features(src: PointBatch, tgt: PointBatch,
         src_dmask, tgt_dmask,
         capacity=config.fpfh.max_correspondences,
         use_crosscheck=config.fpfh.use_crosscheck,
+        crosscheck_min_matches=config.fpfh.crosscheck_min_matches,
         use_tuple_test=config.fpfh.use_tuple_test,
         tuple_scale=config.fpfh.tuple_scale,
         trials_per_corr=config.fpfh.tuple_trials_per_corr,

@@ -380,8 +380,9 @@ def segment_cloud(points: jnp.ndarray, mask: jnp.ndarray,
                 + 2 * outlier_pix.astype(jnp.int32)
                 + 3 * ground_pix.astype(jnp.int32))
     packed_pix = jnp.where(occupied, (code_pix << _IBITS) + owner, -1)
-    flat_c = jnp.minimum(flat, rows_n * cols_n - 1)
-    got = image_lookup(flat_c, packed_pix.astype(jnp.float32),
+    # invalid points keep the npix sentinel: image_lookup reads them as 0
+    # AND skips whole trailing tiles past the last valid point
+    got = image_lookup(flat, packed_pix.astype(jnp.float32),
                        rows_n, cols_n).astype(jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
     is_owner = ok & ((got & ((1 << _IBITS) - 1)) == iota) & (got >= 0)

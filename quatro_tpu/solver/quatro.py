@@ -268,7 +268,12 @@ def register_hypotheses(
             num_anchors=config.vote_yaw_anchors,
             num_bins=config.vote_yaw_bins)
         cliques = jnp.concatenate([cliques, vmasks])
-        valid_k = jnp.concatenate([valid_k, vsizes >= 3])
+        # two supporters suffice: the cyclic chain TIM is estimable from
+        # 2 vertices (the reference aborts only at <= 1), and sparse hard
+        # pairs carry GT modes of exactly 2-4 votes (measured seed-40
+        # failure: the true mode had 2 votes and a min-support of 3
+        # silently discarded it)
+        valid_k = jnp.concatenate([valid_k, vsizes >= 2])
 
     return jax.vmap(
         lambda sel, ok: _solve_from_inliers(src, tgt, sel, ok, scale,

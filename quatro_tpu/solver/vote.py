@@ -122,7 +122,7 @@ def translation_vote_masks(src: jnp.ndarray, tgt: jnp.ndarray,
                            mask: jnp.ndarray, yaw: jnp.ndarray,
                            scale: jnp.ndarray, num_hyps: int,
                            bin_m: float, refine_scale: float = 1.5,
-                           min_votes: int = 3):
+                           min_votes: int = 2):
     """Top `num_hyps` distinct translation modes at the given yaw.
 
     Returns ((num_hyps, N) bool support masks, (num_hyps,) f32 recollected
