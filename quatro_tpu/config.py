@@ -173,6 +173,15 @@ class FPFHConfig:
     # mutual matches with ONE GT-consistent — starvation no solver-side
     # mechanism can recover from). 0 disables the fallback.
     crosscheck_min_matches: int = 64
+    # Robustness addition: when the tuple test keeps fewer than this many
+    # pairs, skip it and hand the NN candidates to the solver (whose
+    # clique stage is the stronger outlier filter). The reference
+    # proceeds with whatever survives and aborts downstream
+    # (quatro.hpp:809-813). On degenerate-descriptor pairs the tuple
+    # test measurably KEEPS only one self-consistent (wrong) structure
+    # — a higher floor trades match precision for the recall those
+    # pairs need.
+    tuple_min_keep: int = 48
     use_tuple_test: bool = True
     tuple_scale: float = 0.95
     tuple_trials_per_corr: int = 100

@@ -109,7 +109,8 @@ class OdometryRunner:
             use_crosscheck=f.use_crosscheck,
             crosscheck_min_matches=f.crosscheck_min_matches,
             use_tuple_test=f.use_tuple_test, tuple_scale=f.tuple_scale,
-            trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed)
+            trials_per_corr=f.tuple_trials_per_corr, seed=f.tuple_seed,
+            tuple_min_keep=f.tuple_min_keep)
         overlap = None
         if cfg.solver.total_hypotheses > 1:
             from quatro_tpu.solver.quatro import register_hypotheses

@@ -77,6 +77,26 @@ def _split_dot_oh_vals(oh16, vals, dims, terms=3):
     return out
 
 
+def _limits_enabled() -> bool:
+    """Active-tile skipping for these kernels is OFF by default.
+
+    Round-5 incident: with the limits on, the kernels were individually
+    correct on-chip at B=64 (validated vs NumPy oracles) AND the full
+    preprocessing stage composed fine at B=64 — but composing
+    preprocessing WITH the feature-extraction stage crashed the TPU
+    worker reproducibly ("kernel fault"), and the same program ran with
+    the limits disabled. This is the round-4 Mosaic hazard class
+    (conditional work on revisited/pipelined blocks misbehaving only at
+    specific compositions/batch sizes, see the bidirectional-NN revert),
+    where failure can also degrade to SILENT corruption — so the safe
+    default is off. QUATRO_KERNEL_LIMITS=1 re-enables for A/B on future
+    toolchains; the NN-kernel row/column limits (ops/pallas_frontend.py)
+    are unaffected — they are proven in full-pipeline composition.
+    """
+    import os
+    return os.environ.get("QUATRO_KERNEL_LIMITS", "0") == "1"
+
+
 def _tile_limit(in_range: jnp.ndarray, tile: int) -> jnp.ndarray:
     """(1, 1) int32 count of leading tiles containing ANY in-range id.
 
@@ -88,6 +108,8 @@ def _tile_limit(in_range: jnp.ndarray, tile: int) -> jnp.ndarray:
     occupancy and ~85% on sparse sensors (VLP-16 in a 131k capacity).
     """
     n = in_range.shape[0]
+    if not _limits_enabled():
+        return jnp.full((1, 1), (n + tile - 1) // tile, jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
     last = jnp.max(jnp.where(in_range, iota + 1, 0))
     return ((last + tile - 1) // tile).astype(jnp.int32)[None, None]
@@ -347,6 +369,9 @@ def _code_from(ids_row, proj, th, flags_f, p_cnt):
 
 def _classify_kernel(p_pad: int, p_cnt: int, lim, ids, chan, tab, out):
     i = pl.program_id(0)
+    # unconditional zero + conditional overwrite: tiles past the last
+    # valid id carry only dropped points, whose code is 0
+    out[:] = jnp.zeros_like(out)
 
     @pl.when(i < lim[0, 0])
     def _():
@@ -354,12 +379,6 @@ def _classify_kernel(p_pad: int, p_cnt: int, lim, ids, chan, tab, out):
         proj, th, flags_f, _ = _lookup_member(ids[:], chan[:], tab[:],
                                               p_cnt, oh)
         out[:] = _code_from(ids[:], proj, th, flags_f, p_cnt)
-
-    @pl.when(i >= lim[0, 0])
-    def _():
-        # tiles past the last valid id carry only dropped points, whose
-        # code is 0 — write it (the block would otherwise be garbage)
-        out[:] = jnp.zeros_like(out)
 
 
 @functools.partial(jax.jit, static_argnames=("p_pad", "p_cnt", "interpret"))
@@ -429,10 +448,7 @@ def table_lookup(ids: jnp.ndarray, tab: jnp.ndarray,
 
 def _imglookup_kernel(rows: int, cols: int, t: int, lim, ids, img, out):
     i = pl.program_id(0)
-
-    @pl.when(i >= lim[0, 0])
-    def _():
-        out[:] = jnp.zeros_like(out)
+    out[:] = jnp.zeros_like(out)
 
     @pl.when(i < lim[0, 0])
     def _():

@@ -126,6 +126,7 @@ def register_features(src: PointBatch, tgt: PointBatch,
         use_tuple_test=config.fpfh.use_tuple_test,
         tuple_scale=config.fpfh.tuple_scale,
         trials_per_corr=config.fpfh.tuple_trials_per_corr,
+        tuple_min_keep=config.fpfh.tuple_min_keep,
         seed=config.fpfh.tuple_seed)
 
     if config.solver.total_hypotheses > 1:
