@@ -85,6 +85,43 @@ def _nearest_neighbors(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     return nn.reshape(-1)[:na], d2min.reshape(-1)[:na]
 
 
+def _nearest_neighbors_2(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                         mask_a: jnp.ndarray, mask_b: jnp.ndarray,
+                         row_block: int = 1024):
+    """Top-2 neighbors of A in B: (i1, d1, i2, d2), each (Na,).
+
+    The second neighbor feeds the matcher's starvation-fallback union
+    only (recall on degenerate-descriptor pairs — see _nn2_kernel);
+    mutual-NN semantics always use the first."""
+    from quatro_tpu.ops.pallas_frontend import (nearest_neighbors2_pallas,
+                                                use_pallas_frontend_default)
+    nb = desc_b.shape[0]
+    if (use_pallas_frontend_default() and desc_a.shape[0] % 256 == 0
+            and (nb <= 2048 or nb % 2048 == 0)):
+        return nearest_neighbors2_pallas(desc_a, desc_b, mask_a, mask_b)
+    from quatro_tpu.ops.neighbors import pairwise_sq_dists
+    dtype = desc_a.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    na = desc_a.shape[0]
+    pad = (-na) % row_block
+    da = jnp.pad(desc_a, ((0, pad), (0, 0)))
+    ma = jnp.pad(mask_a, (0, pad))
+    sq_b = jnp.sum(desc_b * desc_b, axis=-1)
+
+    def block(blk):
+        d, m = blk
+        d2 = pairwise_sq_dists(d, desc_b, sq_b=sq_b)
+        d2 = jnp.where(m[:, None] & mask_b[None, :], d2, big)
+        neg2, idx2 = jax.lax.top_k(-d2, 2)
+        return idx2[:, 0], -neg2[:, 0], idx2[:, 1], -neg2[:, 1]
+
+    i1, d1, i2, d2 = jax.lax.map(
+        block, (da.reshape(-1, row_block, da.shape[1]),
+                ma.reshape(-1, row_block)))
+    return (i1.reshape(-1)[:na], d1.reshape(-1)[:na],
+            i2.reshape(-1)[:na], d2.reshape(-1)[:na])
+
+
 def tuple_test_keep(cs: tuple, ct: tuple, cand_pos: jnp.ndarray,
                     ncorr: jnp.ndarray, tuple_scale: float = 0.95,
                     trials_per_corr: int = 100, seed: int = 0):
@@ -180,10 +217,16 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
     ia = jnp.arange(na)
     ib = jnp.arange(nb)
 
-    nn_ab, d2_ab = _nearest_neighbors(src_desc, tgt_desc,
-                                      src_mask, tgt_mask)  # (Na,)
-    nn_ba, d2_ba = _nearest_neighbors(tgt_desc, src_desc,
-                                      tgt_mask, src_mask)  # (Nb,)
+    if use_crosscheck and crosscheck_min_matches > 0:
+        nn_ab, d2_ab, nn_ab2, d2_ab2 = _nearest_neighbors_2(
+            src_desc, tgt_desc, src_mask, tgt_mask)
+        nn_ba, d2_ba, nn_ba2, d2_ba2 = _nearest_neighbors_2(
+            tgt_desc, src_desc, tgt_mask, src_mask)
+    else:
+        nn_ab, d2_ab = _nearest_neighbors(src_desc, tgt_desc,
+                                          src_mask, tgt_mask)  # (Na,)
+        nn_ba, d2_ba = _nearest_neighbors(tgt_desc, src_desc,
+                                          tgt_mask, src_mask)  # (Nb,)
     mutual_a = (nn_ba[nn_ab] == ia) & src_mask & tgt_mask[nn_ab]
     mutual_b = (nn_ab[nn_ba] == ib) & tgt_mask & src_mask[nn_ba]
     flag_a_union = src_mask & tgt_mask[nn_ab]
@@ -195,17 +238,24 @@ def match_features(src_xyz: jnp.ndarray, tgt_xyz: jnp.ndarray,
         # them GT-consistent — no downstream mechanism can recover a pose
         # from that). When fewer than crosscheck_min_matches mutual pairs
         # survive, fall back to the one-directional union (the reference's
-        # crosscheck=false candidate set) — the tuple test and the
-        # solver's clique stage are the real outlier filters.
+        # crosscheck=false candidate set) EXTENDED with each side's
+        # SECOND nearest neighbors — on-chip failure dissection found the
+        # true match demoted to 2nd-NN by FPFH bin-edge noise on exactly
+        # these pairs. The tuple test and the solver's clique stage are
+        # the real outlier filters.
         n_mutual = jnp.sum(mutual_a)
         use_union = n_mutual < crosscheck_min_matches
-        cand_src0 = jnp.concatenate([ia, nn_ba])
-        cand_tgt0 = jnp.concatenate([nn_ab, ib])
+        flag_a2 = src_mask & tgt_mask[nn_ab2]
+        flag_b2 = tgt_mask & src_mask[nn_ba2]
+        cand_src0 = jnp.concatenate([ia, nn_ba, ia, nn_ba2])
+        cand_tgt0 = jnp.concatenate([nn_ab, ib, nn_ab2, ib])
+        zeros_u = jnp.zeros((na + nb,), bool)
         cand_flag = jnp.where(
             use_union,
-            jnp.concatenate([flag_a_union, flag_b_union]),
-            jnp.concatenate([mutual_a, jnp.zeros((nb,), bool)]))
-        cand_q0 = jnp.concatenate([d2_ab, d2_ba])
+            jnp.concatenate([flag_a_union, flag_b_union, flag_a2,
+                             flag_b2]),
+            jnp.concatenate([mutual_a, jnp.zeros((nb,), bool), zeros_u]))
+        cand_q0 = jnp.concatenate([d2_ab, d2_ba, d2_ab2, d2_ba2])
     elif use_crosscheck:
         cand_src0, cand_tgt0, cand_flag = ia, nn_ab, mutual_a
         cand_q0 = d2_ab

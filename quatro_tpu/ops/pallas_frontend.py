@@ -478,6 +478,122 @@ def _nn_kernel(lim, rows_d, cols_d, rows_m, cols_m, idx_out,
         d2_out[:] = jnp.where(better, dmin, d2_out[:])
 
 
+def _nn2_kernel(lim, rows_d, cols_d, rows_m, cols_m, i1_out, d1_out,
+                i2_out, d2_out):
+    """Two nearest neighbors per row (see _nn_kernel for the chunking and
+    skip-exactness story). The second-NN exists for matcher RECALL on
+    degenerate-descriptor pairs: round-5 on-chip failure dissection found
+    hard pairs whose 1st-NN candidate set carried 1-9 GT-consistent
+    matches in ~500 — the true match is often the SECOND neighbor when
+    FPFH bins sit on quantization edges. Healthy pairs are unaffected
+    (mutual-NN semantics use the first neighbor only; seconds enter only
+    the starvation-fallback union, ops/matching.py)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        i1_out[:] = jnp.zeros_like(i1_out)
+        d1_out[:] = jnp.full_like(d1_out, 3.4e38)
+        i2_out[:] = jnp.zeros_like(i2_out)
+        d2_out[:] = jnp.full_like(d2_out, 3.4e38)
+
+    @pl.when((i < lim[0, 0]) & (j < lim[0, 1]))
+    def _():
+        a = rows_d[:]
+        b = cols_d[:]
+        big = jnp.asarray(3.4e38, jnp.float32)
+        cross = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+        d2 = jnp.maximum(jnp.sum(a * a, axis=1, keepdims=True) - 2.0 * cross
+                         + jnp.sum(b * b, axis=1)[None, :], 0.0)
+        ok = (rows_m[:] > 0) & (cols_m[:] > 0)
+        d2 = jnp.where(ok, d2, big)
+        c = d2.shape[1]
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        cd1 = jnp.min(d2, axis=1, keepdims=True)
+        loc1 = jnp.min(jnp.where(d2 <= cd1, col_ids, c), axis=1,
+                       keepdims=True)
+        loc1c = jnp.minimum(loc1, c - 1)
+        ci1 = loc1c + j * c
+        d2x = jnp.where(col_ids == loc1c, big, d2)   # drop the 1st ELEMENT
+        cd2 = jnp.min(d2x, axis=1, keepdims=True)
+        loc2 = jnp.min(jnp.where(d2x <= cd2, col_ids, c), axis=1,
+                       keepdims=True)
+        ci2 = jnp.minimum(loc2, c - 1) + j * c
+
+        rd1, ri1 = d1_out[:], i1_out[:]
+        rd2, ri2 = d2_out[:], i2_out[:]
+        # merge two sorted pairs into the global top-2 (running first on
+        # ties — earlier chunks hold lower column ids)
+        w1 = cd1 < rd1
+        nd1 = jnp.where(w1, cd1, rd1)
+        ni1 = jnp.where(w1, ci1, ri1)
+        # the loser of the first slot competes for the second
+        ld = jnp.where(w1, rd1, cd1)
+        li = jnp.where(w1, ri1, ci1)
+        nd2, ni2 = ld, li
+        rep = rd2 < nd2
+        nd2 = jnp.where(rep, rd2, nd2)
+        ni2 = jnp.where(rep, ri2, ni2)
+        rep = cd2 < nd2
+        nd2 = jnp.where(rep, cd2, nd2)
+        ni2 = jnp.where(rep, ci2, ni2)
+        i1_out[:] = ni1
+        d1_out[:] = nd1
+        i2_out[:] = ni2
+        d2_out[:] = nd2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_neighbors2_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                              mask_a: jnp.ndarray, mask_b: jnp.ndarray,
+                              interpret: bool = False):
+    """Top-2 neighbors of each A row in B: (i1, d1, i2, d2), each (Na,).
+
+    Same tiling/limits as nearest_neighbors_pallas. Invalid rows get
+    index 0 / +max on both slots; when B has < 2 valid columns the second
+    slot is 0 / +max.
+    """
+    na, d = desc_a.shape
+    nb = desc_b.shape[0]
+    assert na % _TNN == 0, f"Na={na} must be a multiple of {_TNN}"
+    chunk = min(nb, 2048)
+    assert nb % chunk == 0, f"Nb={nb} must be a multiple of {chunk}"
+    grid = (na // _TNN, nb // chunk)
+    lim_spec = pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+                            memory_space=pltpu.SMEM)
+    row_spec = pl.BlockSpec((_TNN, d), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((chunk, d), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    mrow = pl.BlockSpec((_TNN, 1), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)
+    mcol = pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                        memory_space=pltpu.VMEM)
+    out_i = pl.BlockSpec((_TNN, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    maskf_a = mask_a.astype(desc_a.dtype)
+    i1, d1, i2, d2 = pl.pallas_call(
+        _nn2_kernel,
+        grid=grid,
+        in_specs=[lim_spec, row_spec, col_spec, mrow, mcol],
+        out_specs=(out_i, out_i, out_i, out_i),
+        out_shape=(jax.ShapeDtypeStruct((na, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((na, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((na, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((na, 1), jnp.float32)),
+        interpret=interpret,
+    )(_nn_active_limits(maskf_a, mask_b, chunk), desc_a, desc_b,
+      maskf_a[:, None], mask_b.astype(desc_b.dtype)[None, :])
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    d1 = jnp.where(mask_a, d1[:, 0], big)
+    d2 = jnp.where(mask_a, d2[:, 0], big)
+    return (jnp.where(mask_a, i1[:, 0], 0), d1,
+            jnp.where(mask_a, i2[:, 0], 0), d2)
+
+
 def _nn_active_rows(maskf: jnp.ndarray) -> jnp.ndarray:
     """(1, 1) int32 active _TNN-row-tile count (the NN kernel's own row
     tiling — _active_limits uses the pair-kernel tile sizes)."""

@@ -135,3 +135,57 @@ def test_nn_kernel_multichunk_ties(rng):
     assert np.all(np.asarray(pal_i)[:50] == 100)   # earlier chunk wins tie
     np.testing.assert_allclose(np.asarray(pal_d), np.asarray(ref_d),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_nn2_kernel_matches_xla_topk(rng):
+    """The 2-NN kernel must agree with a dense top-2 on both slots,
+    including across column chunks (nb > 2048)."""
+    from quatro_tpu.ops.pallas_frontend import nearest_neighbors2_pallas
+    na, nb, d = 256, 4096, 33
+    da = jnp.asarray(rng.uniform(0, 100, (na, d)), jnp.float32)
+    db = jnp.asarray(rng.uniform(0, 100, (nb, d)), jnp.float32)
+    ma = jnp.asarray(rng.uniform(size=na) > 0.1)
+    mb = jnp.asarray(rng.uniform(size=nb) > 0.1)
+    i1, d1, i2, d2 = nearest_neighbors2_pallas(da, db, ma, mb,
+                                               interpret=True)
+    dd = ((np.asarray(da)[:, None, :] - np.asarray(db)[None, :, :]) ** 2
+          ).sum(-1)
+    dd[:, ~np.asarray(mb)] = np.inf
+    order = np.argsort(dd, axis=1)
+    ref_i1, ref_i2 = order[:, 0], order[:, 1]
+    ref_d1 = np.take_along_axis(dd, ref_i1[:, None], 1)[:, 0]
+    ref_d2 = np.take_along_axis(dd, ref_i2[:, None], 1)[:, 0]
+    m = np.asarray(ma)
+    np.testing.assert_allclose(np.asarray(d1)[m], ref_d1[m],
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(d2)[m], ref_d2[m],
+                               rtol=1e-4, atol=1e-2)
+    # indices must match wherever the top-2 distances are unambiguous
+    clear = m & (ref_d2 - ref_d1 > 1e-3)
+    np.testing.assert_array_equal(np.asarray(i1)[clear], ref_i1[clear])
+
+
+def test_matcher_second_nn_only_in_fallback(rng):
+    """Healthy pairs (mutual >= floor) must be bit-identical with and
+    without the 2nd-NN extension; starved pairs must gain candidates."""
+    from quatro_tpu.ops.matching import match_features
+    na = 512
+    pa = jnp.asarray(rng.uniform(-20, 20, (na, 3)), jnp.float32)
+    pb = pa + 0.1
+    base = rng.uniform(0, 100, (na, 33))
+    da = jnp.asarray(base, jnp.float32)
+    db = jnp.asarray(base + rng.normal(0, 0.5, (na, 33)), jnp.float32)
+    m = jnp.ones((na,), bool)
+    healthy = match_features(pa, pb, da, db, m, m, capacity=256,
+                             use_tuple_test=False)
+    healthy0 = match_features(pa, pb, da, db, m, m, capacity=256,
+                              use_tuple_test=False,
+                              crosscheck_min_matches=0)
+    assert int(healthy.mask.sum()) == int(healthy0.mask.sum())
+    # starved: only 40 valid targets -> union + seconds kick in
+    mb = jnp.arange(na) < 40
+    starved = match_features(pa, pb, da, db, m, mb, capacity=256,
+                             use_tuple_test=False)
+    strict = match_features(pa, pb, da, db, m, mb, capacity=256,
+                            use_tuple_test=False, crosscheck_min_matches=0)
+    assert int(starved.mask.sum()) > int(strict.mask.sum())
