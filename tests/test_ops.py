@@ -197,10 +197,15 @@ def test_match_without_crosscheck_is_union_and_deduped(rng):
     tgt_p = rng.normal(size=(nb, 3)).astype(np.float32)
     ma, mb = np.ones(na, bool), np.ones(nb, bool)
     kw = dict(capacity=256, use_tuple_test=False)
+    # crosscheck_min_matches=0 pins the REFERENCE semantics: random
+    # descriptors yield few mutual pairs, which would otherwise trigger
+    # the round-5 starvation fallback (union + second neighbors) and
+    # make "strict" a non-subset of the 1st-NN union.
     strict = match_features(jnp.asarray(src_p), jnp.asarray(tgt_p),
                             jnp.asarray(src_d), jnp.asarray(tgt_d),
                             jnp.asarray(ma), jnp.asarray(mb),
-                            use_crosscheck=True, **kw)
+                            use_crosscheck=True, crosscheck_min_matches=0,
+                            **kw)
     loose = match_features(jnp.asarray(src_p), jnp.asarray(tgt_p),
                            jnp.asarray(src_d), jnp.asarray(tgt_d),
                            jnp.asarray(ma), jnp.asarray(mb),

@@ -165,9 +165,11 @@ def test_nn2_kernel_matches_xla_topk(rng):
     np.testing.assert_array_equal(np.asarray(i1)[clear], ref_i1[clear])
 
 
-def test_matcher_second_nn_only_in_fallback(rng):
-    """Healthy pairs (mutual >= floor) must be bit-identical with and
-    without the 2nd-NN extension; starved pairs must gain candidates."""
+def test_matcher_mutual_pairs_rank_first(rng):
+    """The extended candidate set must keep every mutual pair STRICTLY
+    before union-only fillers: the strict-crosscheck output (the
+    reference's semantics, crosscheck_min_matches=0) must be a PREFIX of
+    the extended output; starved pairs must gain candidates."""
     from quatro_tpu.ops.matching import match_features
     na = 512
     pa = jnp.asarray(rng.uniform(-20, 20, (na, 3)), jnp.float32)
@@ -176,16 +178,23 @@ def test_matcher_second_nn_only_in_fallback(rng):
     da = jnp.asarray(base, jnp.float32)
     db = jnp.asarray(base + rng.normal(0, 0.5, (na, 33)), jnp.float32)
     m = jnp.ones((na,), bool)
-    healthy = match_features(pa, pb, da, db, m, m, capacity=256,
-                             use_tuple_test=False)
-    healthy0 = match_features(pa, pb, da, db, m, m, capacity=256,
-                              use_tuple_test=False,
-                              crosscheck_min_matches=0)
-    assert int(healthy.mask.sum()) == int(healthy0.mask.sum())
-    # starved: only 40 valid targets -> union + seconds kick in
+    ext = match_features(pa, pb, da, db, m, m, capacity=256,
+                         use_tuple_test=False)
+    strict = match_features(pa, pb, da, db, m, m, capacity=256,
+                            use_tuple_test=False,
+                            crosscheck_min_matches=0)
+    n_strict = int(strict.mask.sum())
+    n_ext = int(ext.mask.sum())
+    assert n_ext >= n_strict
+    np.testing.assert_array_equal(np.asarray(ext.src_idx)[:n_strict],
+                                  np.asarray(strict.src_idx)[:n_strict])
+    np.testing.assert_array_equal(np.asarray(ext.tgt_idx)[:n_strict],
+                                  np.asarray(strict.tgt_idx)[:n_strict])
+    # starved: only 40 valid targets -> union + seconds dominate
     mb = jnp.arange(na) < 40
     starved = match_features(pa, pb, da, db, m, mb, capacity=256,
                              use_tuple_test=False)
-    strict = match_features(pa, pb, da, db, m, mb, capacity=256,
-                            use_tuple_test=False, crosscheck_min_matches=0)
-    assert int(starved.mask.sum()) > int(strict.mask.sum())
+    strict_s = match_features(pa, pb, da, db, m, mb, capacity=256,
+                              use_tuple_test=False,
+                              crosscheck_min_matches=0)
+    assert int(starved.mask.sum()) > int(strict_s.mask.sum())
