@@ -272,13 +272,17 @@ def run_odometry_windowed(scan_stream, config: PipelineConfig =
         if w == 0:
             return None
         t0 = _time.perf_counter()
-        pts = np.stack(buf_p)
-        msk = np.stack(buf_m)
+        # frames were device_put as they ARRIVED (async transfers overlap
+        # the previous window's compute — round 5 measured the burst
+        # host->device transfer at window boundaries as 93% of wall time
+        # on tunneled hardware); stacking here is a device-side op
+        pts = jnp.stack(buf_p)
+        msk = jnp.stack(buf_m)
         if w < window:   # pad the tail window to the compiled width
             pad = window - w
-            pts = np.concatenate([pts, np.repeat(pts[-1:], pad, axis=0)])
-            msk = np.concatenate([msk, np.repeat(msk[-1:], pad, axis=0)])
-        feats = extract_b(jnp.asarray(pts), jnp.asarray(msk))
+            pts = jnp.concatenate([pts, jnp.repeat(pts[-1:], pad, axis=0)])
+            msk = jnp.concatenate([msk, jnp.repeat(msk[-1:], pad, axis=0)])
+        feats = extract_b(pts, msk)
         lead = (jax.tree_util.tree_map(lambda x: x[:1], feats)
                 if prev is None else prev)
         srcs = jax.tree_util.tree_map(
@@ -313,8 +317,11 @@ def run_odometry_windowed(scan_stream, config: PipelineConfig =
 
     pending = None
     for pts, mask in scan_stream:
-        buf_p.append(np.asarray(pts))
-        buf_m.append(np.asarray(mask))
+        t0 = _time.perf_counter()
+        buf_p.append(jax.device_put(jnp.asarray(pts)))
+        buf_m.append(jax.device_put(jnp.asarray(mask)))
+        if stats is not None:
+            stats["dispatch_s"] += _time.perf_counter() - t0
         buf_i.append(frame_no)
         frame_no += 1
         if len(buf_p) == window:
