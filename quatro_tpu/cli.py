@@ -277,6 +277,10 @@ def main(argv=None) -> int:
     e.add_argument("--num-vote-hypotheses", type=int, default=0,
                    help="extra clique-independent (yaw, translation)-vote "
                         "hypotheses (solver/vote.py)")
+    e.add_argument("--vote-yaw-modes", type=int, default=1,
+                   help="vote translations at the top-K yaw histogram "
+                        "modes (a dominant aliased structure can outvote "
+                        "the true yaw)")
     e.add_argument("--batch", type=int, default=1,
                    help="register pairs in jit(vmap) chunks of this size "
                         "(the bench's serving pattern; required for "
@@ -357,7 +361,9 @@ def cmd_evaluate(args) -> int:
         solver=SolverConfig(num_hypotheses=getattr(args, "num_hypotheses",
                                                    1),
                             num_vote_hypotheses=getattr(
-                                args, "num_vote_hypotheses", 0)),
+                                args, "num_vote_hypotheses", 0),
+                            vote_yaw_modes=getattr(
+                                args, "vote_yaw_modes", 1)),
         ground_alignment=GroundAlignmentConfig(
             enabled=getattr(args, "ground_alignment", False)),
         icp=IcpConfig(enabled=getattr(args, "refine", False)))

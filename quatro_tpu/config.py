@@ -314,6 +314,13 @@ class SolverConfig:
     vote_trans_bin_scale: float = 2.5
     vote_yaw_anchors: int = 64
     vote_yaw_bins: int = 256
+    # Vote translations at the top-K yaw modes (a dominant aliased
+    # structure can outvote the true yaw in the histogram). 1 = top mode
+    # only (default). CAUTION: modes > 1 is CPU-validated but the n=300
+    # on-chip eval program reproducibly hit a TPU device error with it
+    # (round 5; the Mosaic composition-hazard family, CLAUDE.md) — treat
+    # as experimental on TPU until revalidated on a newer toolchain.
+    vote_yaw_modes: int = 1
 
     def __post_init__(self):
         if self.reg_name not in ("Quatro", "TEASER"):

@@ -266,7 +266,8 @@ def register_hypotheses(
             src, tgt, mask, adj, scale, config.num_vote_hypotheses,
             bin_m=config.vote_trans_bin_scale * abs(config.noise_bound),
             num_anchors=config.vote_yaw_anchors,
-            num_bins=config.vote_yaw_bins)
+            num_bins=config.vote_yaw_bins,
+            num_yaw_modes=config.vote_yaw_modes)
         cliques = jnp.concatenate([cliques, vmasks])
         # two supporters suffice: the cyclic chain TIM is estimable from
         # 2 vertices (the reference aborts only at <= 1), and sparse hard

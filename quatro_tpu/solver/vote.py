@@ -54,8 +54,15 @@ from quatro_tpu.utils.se3 import rotate_points, yaw_to_rotation
 def yaw_vote(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
              adj: jnp.ndarray, num_anchors: int = 64,
              num_bins: int = 256, min_baseline: float = 1.0,
-             max_weight_baseline: float = 10.0) -> jnp.ndarray:
-    """Modal yaw implied by the consistency graph's edges: scalar radians.
+             max_weight_baseline: float = 10.0, num_modes: int = 1):
+    """Modal yaw(s) implied by the consistency graph's edges.
+
+    Returns a scalar (radians) for num_modes == 1, else a (num_modes,)
+    array — the circular-mean-refined top modes, each subsequent mode
+    taken outside a +/-2-bin exclusion zone of the previous ones (a
+    dominant aliased structure can outvote the true yaw; measured n=300
+    failure: the correct 9-clique's yaw lost the histogram to a
+    6.5-degree-off structure).
 
     src, tgt: (N, 3) matched correspondences; mask: (N,); adj: (N, N)
     symmetric bool consistency adjacency (solver/scale.py). Edges are
@@ -107,10 +114,24 @@ def yaw_vote(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
     votes = hist[:, 0]
     # circular +/-1 neighborhood so a mode straddling a bin edge still wins
     smooth = votes + jnp.roll(votes, 1) + jnp.roll(votes, -1)
-    b = jnp.argmax(smooth)
-    window = (hist[b] + hist[(b + 1) % num_bins]
-              + hist[(b - 1) % num_bins])
-    return jnp.arctan2(window[1], window[2])        # weighted circular mean
+
+    def refine(b):
+        window = (hist[b] + hist[(b + 1) % num_bins]
+                  + hist[(b - 1) % num_bins])
+        return jnp.arctan2(window[1], window[2])    # weighted circular mean
+
+    if num_modes == 1:
+        return refine(jnp.argmax(smooth))
+    modes = []
+    s = smooth
+    bins_iota = jnp.arange(num_bins)
+    for _ in range(num_modes):
+        b = jnp.argmax(s)
+        modes.append(refine(b))
+        d = jnp.abs((bins_iota - b + num_bins // 2) % num_bins
+                    - num_bins // 2)
+        s = jnp.where(d <= 2, -1.0, s)              # exclusion zone
+    return jnp.stack(modes)
 
 
 # Translation-vote grid: 10 bits per axis around the origin.
@@ -193,13 +214,31 @@ def translation_vote_masks(src: jnp.ndarray, tgt: jnp.ndarray,
     return masks, sizes
 
 
-@partial(jax.jit, static_argnames=("num_hyps", "num_anchors", "num_bins"))
+@partial(jax.jit, static_argnames=("num_hyps", "num_anchors", "num_bins",
+                                   "num_yaw_modes"))
 def vote_hypotheses(src: jnp.ndarray, tgt: jnp.ndarray, mask: jnp.ndarray,
                     adj: jnp.ndarray, scale: jnp.ndarray, num_hyps: int,
                     bin_m: float, num_anchors: int = 64,
-                    num_bins: int = 256):
-    """(num_hyps, N) vote-based support masks + (num_hyps,) sizes."""
-    yaw = yaw_vote(src, tgt, mask, adj, num_anchors=num_anchors,
-                   num_bins=num_bins)
-    return translation_vote_masks(src, tgt, mask, yaw, scale, num_hyps,
-                                  bin_m)
+                    num_bins: int = 256, num_yaw_modes: int = 1):
+    """(num_hyps, N) vote-based support masks + (num_hyps,) sizes.
+
+    With num_yaw_modes > 1, translation modes are voted at each of the
+    top yaw modes; candidate masks from all modes compete in one
+    distinctness-deduplicated ranking for the num_hyps slots.
+    """
+    if num_yaw_modes == 1:
+        yaw = yaw_vote(src, tgt, mask, adj, num_anchors=num_anchors,
+                       num_bins=num_bins)
+        return translation_vote_masks(src, tgt, mask, yaw, scale, num_hyps,
+                                      bin_m)
+    yaws = yaw_vote(src, tgt, mask, adj, num_anchors=num_anchors,
+                    num_bins=num_bins, num_modes=num_yaw_modes)
+    all_masks = []
+    for m_i in range(num_yaw_modes):
+        masks, _ = translation_vote_masks(src, tgt, mask, yaws[m_i], scale,
+                                          num_hyps, bin_m)
+        all_masks.append(masks)
+    cand = jnp.concatenate(all_masks)
+    masks, sizes = top_distinct_cliques(cand, num_hyps)
+    sizes = jnp.where(sizes >= 2, sizes, 0.0)
+    return masks, sizes

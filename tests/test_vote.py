@@ -148,3 +148,37 @@ def test_vote_hypotheses_vmaps():
     assert masks.shape == (2, 2, 256)
     np.testing.assert_array_equal(np.asarray(masks[0]),
                                   np.asarray(masks[1]))
+
+
+def test_yaw_vote_two_modes_finds_secondary():
+    """A dominant structure at one yaw must not hide a secondary mode:
+    the two-mode vote must return both planted yaws."""
+    rng = np.random.default_rng(7)
+    R1 = np.asarray(yaw_to_rotation(jnp.deg2rad(20.0)))
+    R2 = np.asarray(yaw_to_rotation(jnp.deg2rad(95.0)))
+    s1 = rng.uniform(-20, 20, (40, 3)).astype(np.float32)
+    s2 = rng.uniform(-20, 20, (15, 3)).astype(np.float32)
+    t1 = s1 @ R1.T + np.array([1, 2, 0]) + rng.normal(0, 0.02, (40, 3))
+    t2 = s2 @ R2.T + np.array([-3, 1, 0]) + rng.normal(0, 0.02, (15, 3))
+    src = np.pad(np.concatenate([s1, s2]), ((0, 73), (0, 0))).astype(np.float32)
+    tgt = np.pad(np.concatenate([t1, t2]), ((0, 73), (0, 0))).astype(np.float32)
+    mask = np.zeros(128, bool); mask[:55] = True
+    adj = tim_consistency_graph(jnp.asarray(src), jnp.asarray(tgt),
+                                jnp.asarray(mask), 0.1, 1.0,
+                                use_pallas=False)
+    yaws = np.degrees(np.asarray(yaw_vote(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask), adj,
+        num_modes=2)))
+    assert abs(yaws[0] - 20.0) < 2.0, yaws
+    assert abs(yaws[1] - 95.0) < 3.0, yaws
+
+
+def test_vote_hypotheses_two_yaw_modes_surface_both_structures():
+    src, tgt, mask, R, t, true_idx = _aliased_fixture()
+    adj = tim_consistency_graph(src, tgt, mask, 0.1, 1.0, use_pallas=False)
+    masks, sizes = vote_hypotheses(src, tgt, mask, adj,
+                                   jnp.asarray(1.0, jnp.float32),
+                                   num_hyps=3, bin_m=0.75, num_yaw_modes=2)
+    masks = np.asarray(masks)
+    best_cover = max(masks[v, true_idx].mean() for v in range(masks.shape[0]))
+    assert best_cover >= 0.8
