@@ -449,6 +449,27 @@ class PipelineConfig:
             raise ValueError("Ground Segmentation mode is wrong!")
 
     @staticmethod
+    def recommended(**overrides) -> "PipelineConfig":
+        """The SHIPPING configuration — the exact ``PipelineConfig`` both
+        round-5 headline artifacts measure: 0.990 loop-closure success at
+        n=300 on-chip (EVAL_r05.json) and 73.7 pairs/s serving throughput
+        (BENCH_SELF_r05.json; ``python bench.py`` defaults).
+
+        Differs from the bare defaults only in the solver's hypothesis
+        machinery: 4 clique hypotheses + 2 clique-independent (yaw,
+        translation) vote hypotheses, arbitrated by geometric overlap.
+        The bare ``PipelineConfig()`` default keeps the reference-parity
+        single-clique solver (num_hypotheses=1), which is measurably
+        faster (86.4 pairs/s) but loses planar-aliasing pairs the
+        multi-hypothesis path recovers (0.9833 vs 0.990 at n=300).
+        Pinned by tests/test_config.py::test_recommended_is_shipping.
+        """
+        solver = overrides.pop("solver",
+                               SolverConfig(num_hypotheses=4,
+                                            num_vote_hypotheses=2))
+        return PipelineConfig(solver=solver, **overrides)
+
+    @staticmethod
     def for_lidar(name: str, **overrides) -> "PipelineConfig":
         """Sensor-matched pipeline config: the lidar preset plus FPFH radii
         scaled to its ring spacing (``FPFHConfig.for_lidar``).
