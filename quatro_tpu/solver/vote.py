@@ -174,6 +174,13 @@ def translation_vote_masks(src: jnp.ndarray, tgt: jnp.ndarray,
     key_s, tx_s, ty_s, tz_s = jax.lax.sort((key, tx, ty, tz), num_keys=1)
 
     m2 = 2 * n
+    # The occupancy rank-key below packs (count, position) into 12+12
+    # bits; a correspondence capacity beyond 2048 would silently clamp
+    # positions and corrupt which bins rank as modes (same hazard class
+    # as projection.py's pixel-key packing — assert, don't corrupt).
+    assert m2 <= (1 << 12), (
+        f"translation vote supports up to 2048 correspondences "
+        f"(got {n}); widen the rank-key packing to go higher")
     pos = jnp.arange(m2, dtype=jnp.int32)
     valid_b = key_s != sentinel
     is_new = jnp.concatenate([jnp.ones(1, bool),

@@ -182,3 +182,17 @@ def test_vote_hypotheses_two_yaw_modes_surface_both_structures():
     masks = np.asarray(masks)
     best_cover = max(masks[v, true_idx].mean() for v in range(masks.shape[0]))
     assert best_cover >= 0.8
+
+
+def test_translation_vote_rejects_overflowing_capacity():
+    # The rank-key packs (count, position) in 12+12 bits: n > 2048 must
+    # refuse at trace time rather than silently clamp positions and
+    # corrupt which bins rank as modes.
+    n = 4096
+    src = jnp.zeros((n, 3), jnp.float32)
+    tgt = jnp.zeros((n, 3), jnp.float32)
+    with pytest.raises(AssertionError, match="2048"):
+        translation_vote_masks(src, tgt, jnp.ones(n, bool),
+                               jnp.asarray(0.0, jnp.float32),
+                               jnp.asarray(1.0, jnp.float32),
+                               num_hyps=2, bin_m=0.75)
